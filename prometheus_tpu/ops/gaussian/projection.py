@@ -1,0 +1,134 @@
+"""3D Gaussian -> screen-space projection (EWA splatting), pure JAX.
+
+Replaces the projection stage of the reference's external CUDA rasterizer
+(``gsplat.rasterization``, called from
+``/root/reference/prometheus/modules/renderers/gaussians_renderer.py:413-427``)
+with differentiable XLA ops. Math follows the 3DGS/EWA formulation:
+
+    Sigma = R S S^T R^T                       (world-space covariance)
+    t     = W p + c                           (camera space, +z forward)
+    Sigma2D = J W Sigma W^T J^T + eps2d * I   (screen space, low-pass dilated)
+
+Camera space here is OpenCV convention (x right, y down, z forward); the
+renderer converts from the framework's OpenGL camera vectors before calling
+in. All outputs are per-gaussian and fully batched; everything is
+differentiable except the integer radius, which only gates tile binning.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.quaternion import quaternion_to_matrix
+
+# Screen-space low-pass filter added to the 2D covariance diagonal; the 3DGS
+# convention ensures every splat covers >= ~1 pixel.
+EPS2D = 0.3
+# Mahalanobis cutoff used for the bounding radius (3 sigma).
+RADIUS_CUTOFF = 3.0
+
+
+class Projected(NamedTuple):
+    """Per-gaussian screen-space quantities (leading dims = gaussian batch)."""
+
+    mean2d: jax.Array   # (..., 2) pixel coords
+    conic: jax.Array    # (..., 3) inverse 2D covariance (a, b, c): quad = a dx^2 + 2b dxdy + c dy^2
+    depth: jax.Array    # (...,) camera-space z
+    radius: jax.Array   # (...,) float bounding radius in pixels (0 where culled)
+    valid: jax.Array    # (...,) bool
+
+
+def covariance_3d(scales: jax.Array, quats: jax.Array) -> jax.Array:
+    """World-space covariance ``R diag(s^2) R^T`` -> ``(..., 3, 3)``."""
+    R = quaternion_to_matrix(quats)
+    # R * s^2 along columns, then times R^T
+    m = R * (scales**2)[..., None, :]
+    return jnp.einsum("...ij,...kj->...ik", m, R,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def project_gaussians(
+    means3d: jax.Array,   # (N, 3) world
+    scales: jax.Array,    # (N, 3)
+    quats: jax.Array,     # (N, 4) (w,x,y,z)
+    w2c: jax.Array,       # (4, 4) world->camera (OpenCV), row-major action y = Rx + t
+    fx, fy, cx, cy,
+    img_h: int, img_w: int,
+    near: float = 0.01,
+    far: float = 1e10,
+    eps2d: float = EPS2D,
+) -> Projected:
+    """Project gaussians into one camera. Returns screen-space params."""
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    p_cam = means3d @ R.T + t  # (N, 3)
+    tz = p_cam[..., 2]
+    in_depth = (tz > near) & (tz < far)
+    tz_safe = jnp.where(in_depth, tz, 1.0)
+
+    # Clamp the tangent-plane coords used for the Jacobian (EWA stability for
+    # gaussians near/behind the image border).
+    lim_x = 1.3 * (0.5 * img_w / fx)
+    lim_y = 1.3 * (0.5 * img_h / fy)
+    txz = jnp.clip(p_cam[..., 0] / tz_safe, -lim_x, lim_x)
+    tyz = jnp.clip(p_cam[..., 1] / tz_safe, -lim_y, lim_y)
+
+    cov3d = covariance_3d(scales, quats)          # (N, 3, 3)
+    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R,
+                         precision=jax.lax.Precision.HIGHEST)
+
+    # J = [[fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]]
+    inv_z = 1.0 / tz_safe
+    j00 = fx * inv_z
+    j02 = -fx * txz * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * tyz * inv_z
+    # cov2d = J cov_cam J^T, expanded (J has structure [[j00,0,j02],[0,j11,j12]])
+    c = cov_cam
+    a00 = j00 * c[..., 0, 0] + j02 * c[..., 2, 0]
+    a01 = j00 * c[..., 0, 1] + j02 * c[..., 2, 1]
+    a02 = j00 * c[..., 0, 2] + j02 * c[..., 2, 2]
+    b10 = j11 * c[..., 1, 0] + j12 * c[..., 2, 0]
+    b11 = j11 * c[..., 1, 1] + j12 * c[..., 2, 1]
+    b12 = j11 * c[..., 1, 2] + j12 * c[..., 2, 2]
+    cov00 = a00 * j00 + a02 * j02 + eps2d
+    cov01 = a01 * j11 + a02 * j12
+    cov11 = b11 * j11 + b12 * j12 + eps2d
+
+    det = cov00 * cov11 - cov01 * cov01
+    valid = in_depth & (det > 0)
+    det_safe = jnp.where(valid, det, 1.0)
+    conic = jnp.stack([cov11 / det_safe, -cov01 / det_safe, cov00 / det_safe], -1)
+
+    mean2d = jnp.stack(
+        [fx * p_cam[..., 0] * inv_z + cx, fy * p_cam[..., 1] * inv_z + cy], -1
+    )
+
+    # Bounding radius from the largest eigenvalue of cov2d.
+    b = 0.5 * (cov00 + cov11)
+    v1 = b + jnp.sqrt(jnp.maximum(b * b - det, 0.01))
+    radius = RADIUS_CUTOFF * jnp.sqrt(v1)
+    # Cull gaussians fully outside the image.
+    inside = (
+        (mean2d[..., 0] + radius > 0)
+        & (mean2d[..., 0] - radius < img_w)
+        & (mean2d[..., 1] + radius > 0)
+        & (mean2d[..., 1] - radius < img_h)
+    )
+    valid = valid & inside
+    radius = jnp.where(valid, radius, 0.0)
+    depth = jnp.where(valid, tz, jnp.inf)
+    return Projected(mean2d, conic, depth, radius, valid)
+
+
+def w2c_from_camera_vector(camera: jax.Array) -> jax.Array:
+    """18-dim OpenGL camera vector -> (4, 4) OpenCV world-to-camera matrix."""
+    from ...utils.cameras import camera_c2w, opengl_to_opencv
+
+    c2w = camera_c2w(camera)
+    c2w_cv = jnp.concatenate(
+        [opengl_to_opencv(c2w[:3, :4]), jnp.asarray([[0.0, 0.0, 0.0, 1.0]])], 0
+    )
+    return jnp.linalg.inv(c2w_cv)
