@@ -1,0 +1,23 @@
+"""Model zoo: VAE, cross-view DiT, GSDecoder, MV-LDM U-Net, TrajDiT.
+
+A string-keyed registry mirrors the reference's ``import_str`` module lookup
+(``prometheus/utils/__init__.py:20-25``) so configs can name models.
+"""
+from .vae import AutoencoderKL, DiagonalGaussian, Decoder, Encoder
+from .dit import DiTBlock, FinalLayer, TimestepEmbedder
+from .ray_dit import CrossViewDiT, CrossViewDiTWrapped
+from .gs_decoder import GSDecoderModel, decode_and_render
+
+MODEL_REGISTRY = {
+    "GSDecoderModel": GSDecoderModel,
+    "AutoencoderKL": AutoencoderKL,
+    "CrossViewDiT": CrossViewDiT,
+}
+
+
+def get_model(name: str):
+    """Resolve a model class by registry name (accepts dotted paths' last part)."""
+    key = name.rsplit(".", 1)[-1]
+    if key not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model '{name}' (registry: {sorted(MODEL_REGISTRY)})")
+    return MODEL_REGISTRY[key]

@@ -1,0 +1,191 @@
+"""Shared nn building blocks (flax.linen, NHWC internally, bf16-friendly).
+
+From-scratch JAX counterparts of the reference's torch modules
+(``vae_hacked.py`` / ``unet_hacked.py`` primitives): resnet blocks, spatial
+attention, up/downsampling, timestep embeddings, EMANorm. Convs run NHWC
+(TPU-native layout); module boundaries in higher layers stay NCHW for parity
+with the reference's data contract.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import scaled_dot_product_attention
+
+Dtype = Any
+
+
+def nonlinearity(x):
+    return jax.nn.silu(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with fp32 statistics regardless of compute dtype."""
+
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
+        return x.astype(dtype)
+
+
+class Conv2d(nn.Module):
+    """3x3/1x1 conv, NHWC."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: Any = "SAME"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=self.padding,
+            dtype=self.dtype,
+        )(x)
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0,
+                       flip_sin_cos: bool = False) -> jax.Array:
+    """Sinusoidal timestep embedding ``(..., dim)`` (SD convention: cos after sin)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[..., None] * freqs
+    if flip_sin_cos:  # diffusers-style (sin first)
+        emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    else:  # LDM/openai convention (cos first) — matches SD-2.1 U-Net weights
+        emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
+    return emb
+
+
+class ResnetBlock(nn.Module):
+    """VAE-style residual block: GN-silu-conv x2 + (1x1) shortcut."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = GroupNorm32(name="norm1")(x)
+        h = Conv2d(self.out_channels, dtype=self.dtype, name="conv1")(nonlinearity(h))
+        h = GroupNorm32(name="norm2")(h)
+        h = Conv2d(self.out_channels, dtype=self.dtype, name="conv2")(nonlinearity(h))
+        if x.shape[-1] != self.out_channels:
+            x = Conv2d(self.out_channels, kernel=1, dtype=self.dtype,
+                       name="nin_shortcut")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head spatial self-attention over (H*W) tokens (VAE mid-block)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = GroupNorm32(name="norm")(x)
+        q = nn.Dense(c, dtype=self.dtype, name="q")(y).reshape(b, h * w, 1, c)
+        k = nn.Dense(c, dtype=self.dtype, name="k")(y).reshape(b, h * w, 1, c)
+        v = nn.Dense(c, dtype=self.dtype, name="v")(y).reshape(b, h * w, 1, c)
+        out = scaled_dot_product_attention(q, k, v).reshape(b, h, w, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv downsample with the SD VAE's asymmetric (0,1) padding."""
+
+    out_channels: int
+    with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                           padding="VALID", dtype=self.dtype, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + 3x3 conv."""
+
+    out_channels: int
+    with_conv: bool = True
+    use_ema_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        if self.with_conv:
+            x = Conv2d(self.out_channels, dtype=self.dtype, name="conv")(x)
+            if self.use_ema_norm:
+                x = EMANorm(name="ema_norm")(x, train=train)
+        return x
+
+
+class EMANorm(nn.Module):
+    """EMA magnitude normalizer (stabilizes pixel-loss decoder training).
+
+    Tracks an EMA of ``mean(x^2)`` in a mutable ``batch_stats`` collection and
+    rescales activations by its inverse sqrt
+    (reference semantics: ``gs_decoder.py:174-189``).
+    """
+
+    beta: float = 0.995
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ema = self.variable("batch_stats", "magnitude_ema",
+                            lambda: jnp.ones((), jnp.float32))
+        if train and not self.is_initializing():
+            mag = jnp.mean(jax.lax.stop_gradient(x).astype(jnp.float32) ** 2)
+            new = mag + self.beta * (ema.value - mag)  # lerp(mag, ema, beta)
+            ema.value = jnp.where(jnp.isnan(mag), ema.value, new)
+        gain = jax.lax.rsqrt(ema.value + 1e-5)
+        return (x * gain).astype(x.dtype)
+
+
+class StridedDownsampleConv(nn.Module):
+    """Channel-changing stride-2 conv (the GSDecoder DiT's conv_in)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
+                       padding="VALID", dtype=self.dtype, name="conv")(x)
+
+
+class UpsampleConv(nn.Module):
+    """Nearest 2x + channel-changing conv (the GSDecoder DiT's conv_out)."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return Conv2d(self.out_channels, dtype=self.dtype, name="conv")(x)
