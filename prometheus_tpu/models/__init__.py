@@ -7,11 +7,19 @@ from .vae import AutoencoderKL, DiagonalGaussian, Decoder, Encoder
 from .dit import DiTBlock, FinalLayer, TimestepEmbedder
 from .ray_dit import CrossViewDiT, CrossViewDiTWrapped
 from .gs_decoder import GSDecoderModel, decode_and_render
+from .unet_mv import MultiViewUNet
+from .mv_ldm import MVLDMModel
+from .traj_dit import TrajDiTModel, camera_to_token, token_to_camera
+from .clip_text import CLIPTextModel, CLIPTokenizer
 
 MODEL_REGISTRY = {
     "GSDecoderModel": GSDecoderModel,
     "AutoencoderKL": AutoencoderKL,
     "CrossViewDiT": CrossViewDiT,
+    "MultiViewUNet": MultiViewUNet,
+    "MVLDMModel": MVLDMModel,
+    "TrajDiTModel": TrajDiTModel,
+    "CLIPTextModel": CLIPTextModel,
 }
 
 
