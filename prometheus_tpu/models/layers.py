@@ -33,7 +33,11 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+        # full-size configs always divide by 32; tiny test configs fall back
+        groups = self.num_groups
+        while x.shape[-1] % groups != 0:
+            groups //= 2
+        x = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
                          dtype=jnp.float32)(x.astype(jnp.float32))
         return x.astype(dtype)
 

@@ -42,13 +42,21 @@ def camera_to_token(cameras: jax.Array) -> jax.Array:
 def token_to_camera(tokens: jax.Array, image_size: int) -> jax.Array:
     """(B, N, 11) tokens -> (B, N, 18) camera vectors at ``image_size``^2."""
     B, N, _ = tokens.shape
-    R = quaternion_to_matrix(tokens[..., :4])
+    # Guard degenerate (near-zero) quaternions — an untrained/zero-init model
+    # emits them, and quaternion_to_matrix would produce NaN cameras.
+    quat = tokens[..., :4]
+    qn = jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0], tokens.dtype)
+    quat = jnp.where(qn < 1e-4, ident, quat / jnp.maximum(qn, 1e-4))
+    R = quaternion_to_matrix(quat)
     T = tokens[..., 4:7][..., None]
     rt = jnp.concatenate([R, T], axis=-1).reshape(B, N, 12)
     s = float(image_size)
+    # Clamp focal lengths away from zero (same degenerate-model guard).
+    fx = jnp.maximum(tokens[..., 7], 1e-3) * s
+    fy = jnp.maximum(tokens[..., 8], 1e-3) * s
     intr = jnp.stack(
-        [tokens[..., 7] * s, tokens[..., 8] * s,
-         tokens[..., 9] * s, tokens[..., 10] * s,
+        [fx, fy, tokens[..., 9] * s, tokens[..., 10] * s,
          jnp.full((B, N), s), jnp.full((B, N), s)],
         axis=-1,
     )

@@ -192,10 +192,13 @@ class DDIMSchedule:
     alphas_cumprod: jax.Array         # (N,) ascending t
     num_train_timesteps: int = 1000
 
-    def timesteps(self, num_steps: int) -> jax.Array:
+    def timesteps(self, num_steps: int, steps_offset: int = 9) -> jax.Array:
+        """Descending DDIM timesteps (diffusers leading-spacing + offset;
+        the reference TrajDiT uses ``steps_offset=9``)."""
         n = self.num_train_timesteps
         step = n // num_steps
-        return jnp.asarray((np.arange(num_steps) * step)[::-1].copy() + 1, jnp.int32)
+        ts = (np.arange(num_steps) * step)[::-1].copy() + steps_offset
+        return jnp.asarray(np.clip(ts, 0, n - 1), jnp.int32)
 
     def add_noise(self, x0, noise, t):
         ab = self.alphas_cumprod[t]

@@ -1,0 +1,11 @@
+"""Parallelism: device mesh, shardings, pjit train-step factories."""
+from .mesh import (
+    data_sharding,
+    fsdp_param_spec,
+    is_main_process,
+    make_mesh,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+from .train_step import TrainState, init_train_state, make_optimizer, make_train_step

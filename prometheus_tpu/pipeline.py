@@ -1,0 +1,152 @@
+"""PrometheusPipeline: the full feed-forward text -> 3DGS scene pipeline.
+
+Parity target: ``/root/reference/inference.py`` (text -> TrajDiT trajectory
+-> sparse cameras -> MV-LDM sampling -> GSDecoder -> 3D Gaussians -> renders
+/ exports). TPU-first: every stage is jit-compiled; the denoising loops are
+``lax.scan``s; the (B, N)-view rendering is one vmapped XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import GSDecoderModel, MVLDMModel, TrajDiTModel
+from .models.clip_text import CLIPTokenizer
+from .ops.gaussian import convert_gaussians, render_gaussians
+from .systems.mv_ldm_system import MVLDMSystem
+from .systems.traj_dit_system import TrajDiTSystem
+from .utils import sample_from_dense_cameras
+from .utils.rays import raymap as make_raymap
+
+
+@dataclasses.dataclass(eq=False)
+class PrometheusPipeline:
+    """Bundles the three model stages + parameters (the ``full.ckpt`` analog)."""
+
+    mvldm: MVLDMSystem
+    mvldm_params: Any
+    traj: TrajDiTSystem
+    traj_params: Any
+    gsdecoder: GSDecoderModel
+    gsdecoder_vars: Any
+    tokenizer: CLIPTokenizer = dataclasses.field(default_factory=CLIPTokenizer)
+    gs_kwargs: dict = dataclasses.field(
+        default_factory=lambda: dict(z_near=0.01, z_far=100.0, s_min=0.001, s_max=1.0))
+
+    # ---------------------------------------------------------------------
+    def encode_text(self, texts) -> jax.Array:
+        ids = jnp.asarray(self.tokenizer(texts))
+        return self.mvldm.encode_text(self.mvldm_params, ids)
+
+    def generate_trajectory(self, key, text_embeddings, num_steps: int = 100,
+                            image_size: int = 512) -> jax.Array:
+        """(B, L, D) text embeddings -> (B, 29, 18) dense camera trajectory."""
+        return self.traj.inference(self.traj_params, key, text_embeddings,
+                                   num_inference_steps=num_steps,
+                                   image_size=image_size)
+
+    @staticmethod
+    def sparse_views(dense_cameras: jax.Array, num_views: int = 8) -> jax.Array:
+        """Stride-subsample the dense trajectory (inference.py:145)."""
+        n = dense_cameras.shape[1]
+        stride = max(n // num_views, 1)
+        return dense_cameras[:, ::stride][:, :num_views]
+
+    def decode_gaussians(self, latents: jax.Array, cameras: jax.Array):
+        """x0 RGB-D latents (B,N,8,h,w) + cameras -> gaussian tuple."""
+        B, N, _, h, w = latents.shape
+        rm = make_raymap(cameras, h, w)
+        latents_in = jnp.concatenate([latents, rm], axis=2)  # (B,N,14,h,w)
+        raw = self.gsdecoder.apply(self.gsdecoder_vars, latents_in,
+                                   method=GSDecoderModel.decode_latent)
+        return convert_gaussians(raw, cameras, **self.gs_kwargs)
+
+    # ---------------------------------------------------------------------
+    def generate(
+        self,
+        text,
+        key: jax.Array,
+        num_views: int = 8,
+        num_inference_steps: int = 50,
+        num_traj_steps: int = 100,
+        guidance_scale: float = 7.5,
+        guidance_type: str = "joint",
+        cfg_rescale: float = 0.7,
+        render_size: int = 512,
+        image_size: int = 512,
+        negative_text: str = "",
+        cameras: jax.Array | None = None,
+        latent_hw: int | None = None,
+        refiner=None,
+    ) -> dict:
+        """Full text -> 3DGS scene generation. Returns a result dict with
+        images/depths (2D decode), gaussians, and GS renders."""
+        if isinstance(text, str):
+            text = [text]
+        B = len(text)
+        k_traj, k_mv = jax.random.split(key)
+
+        text_emb = self.encode_text(text)
+        uncond_emb = jnp.broadcast_to(
+            self.encode_text([negative_text]), text_emb.shape)
+
+        if cameras is None:
+            dense = self.generate_trajectory(k_traj, text_emb,
+                                             num_steps=num_traj_steps,
+                                             image_size=image_size)
+            cameras = self.sparse_views(dense, num_views)
+        else:
+            dense = cameras
+
+        hw = latent_hw or self.mvldm.model.latent_size
+        latents = self.mvldm.sample(
+            self.mvldm_params, k_mv, cameras, text_emb, uncond_emb,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, guidance_type=guidance_type,
+            cfg_rescale=cfg_rescale, latent_hw=hw,
+        )
+        images_pred, depths_pred = self.mvldm.decode_images_and_depths(
+            self.mvldm_params, latents)
+
+        gaussians = self.decode_gaussians(latents, cameras)
+        images_gs, depths_gs, masks_gs = render_gaussians(
+            cameras, gaussians, h=render_size, w=render_size)
+
+        result = {
+            "cameras": cameras,
+            "dense_cameras": dense,
+            "latents_pred": latents,
+            "images_pred": images_pred,
+            "depths_pred": depths_pred,
+            "gaussians": gaussians,
+            "images_gs_render": images_gs,
+            "depths_gs_render": depths_gs,
+            "masks_gs_render": masks_gs,
+        }
+        if refiner is not None:
+            gaussians_sds = refiner.refine_gaussians(
+                gaussians, text[0], dense_cameras=dense, key=key)
+            img_sds, dep_sds, _ = render_gaussians(
+                cameras, gaussians_sds, h=render_size, w=render_size)
+            result.update(gaussians_sds=gaussians_sds,
+                          images_sds_gs_render=img_sds,
+                          depths_sds_gs_render=dep_sds)
+        return result
+
+    # ---------------------------------------------------------------------
+    def render_orbit_video(self, gaussians, dense_cameras: jax.Array,
+                           num_frames: int = 120, size: int = 512,
+                           chunk: int = 8):
+        """Render a slerp-resampled trajectory video -> (T, 3, size, size) [-1,1]."""
+        t = jnp.linspace(0, 1, num_frames)[None]
+        cams = sample_from_dense_cameras(dense_cameras[:1], t)  # (1, T, 18)
+        frames = []
+        for i in range(0, num_frames, chunk):
+            imgs, deps, _ = render_gaussians(
+                cams[:, i : i + chunk], gaussians, h=size, w=size)
+            frames.append(np.asarray(imgs[0]))
+        return np.concatenate(frames, axis=0)

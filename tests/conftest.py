@@ -5,13 +5,17 @@ unit suite must be hermetic and exercise multi-device sharding on host CPU.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the ambient environment presets JAX_PLATFORMS=axon, the remote
+# TPU tunnel — unit tests must be hermetic and multi-device).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The axon plugin ignores the JAX_PLATFORMS env var; the config API works.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the dominant cost of this suite is XLA
 # compiles, which are identical run-to-run.
