@@ -1,0 +1,134 @@
+"""Benchmark: flagship text -> 3DGS scene generation latency on real hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Baseline: the rebuild target from BASELINE.md — text -> 3DGS scene in < 5 s
+end-to-end (the reference only claims "in seconds" on an RTX A6000;
+``/root/reference/README.md:22``). vs_baseline = 5.0 / measured_seconds, so
+values > 1 beat the target.
+
+Pipeline measured (random weights — compute cost is identical to trained
+weights): TrajDiT 100-step DDIM -> MV-LDM 50-step joint-CFG sampling (8 views,
+SD-2.1-size U-Net, bf16) -> GS-VAE decode to pixel-aligned gaussians ->
+512^2 render of 8 views. Compile time excluded (one warm-up run).
+
+Env knobs: BENCH_SMALL=1 runs a reduced model (CI/debug).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_flagship(small: bool = False):
+    from prometheus_tpu.models import GSDecoderModel, MVLDMModel, TrajDiTModel
+    from prometheus_tpu.ops.schedulers import make_schedule
+    from prometheus_tpu.pipeline import PrometheusPipeline
+    from prometheus_tpu.systems import MVLDMSystem, TrajDiTSystem
+
+    key = jax.random.PRNGKey(0)
+    dtype = jnp.bfloat16
+    if small:
+        mv_kw = dict(model_channels=64, num_head_channels=32, context_dim=64,
+                     channel_mult=(1, 2), num_res_blocks=1,
+                     disable_3d_attentions=(1, 0, 0, 0, 0),
+                     clip_layers=2, clip_width=64, vae_ch=32,
+                     vae_ch_mult=(1, 2, 4), image_size=64)
+        gs_kw = dict(dit_hidden_size=64, dit_depth=2, dit_num_heads=4,
+                     vae_ch=32, vae_ch_mult=(1, 2, 4))
+        traj_kw = dict(hidden_size=64, num_blocks=2, num_heads=4, text_dim=64)
+    else:
+        mv_kw = dict(image_size=256)   # flagship SD-2.1 defaults
+        gs_kw = dict()
+        traj_kw = dict()
+
+    mv_model = MVLDMModel(use_checkpoint=False, dtype=dtype, **mv_kw)
+    traj_model = TrajDiTModel(dtype=dtype, **traj_kw)
+    gs_model = GSDecoderModel(dtype=dtype, **gs_kw)
+
+    B, N = 1, 8
+    hw = mv_model.latent_size
+    img = mv_model.image_size
+    from prometheus_tpu.utils import get_random_cameras
+    cams = get_random_cameras(key, N, size=img)[None]
+
+    t0 = time.time()
+    mv_params = jax.jit(lambda: mv_model.init(
+        key, jnp.zeros((B, 1, 3, img, img)), jnp.zeros((B, 77), jnp.int32),
+        jnp.zeros((B, N, 9, hw, hw), dtype), jnp.zeros((B, 77, mv_model.context_dim), dtype),
+        jnp.zeros((B, N)), cams, method=MVLDMModel.init_everything))()
+    traj_params = jax.jit(lambda: traj_model.init(
+        key, jnp.zeros((1, 29, 11)),
+        jnp.zeros((1, 77, mv_model.context_dim), dtype),
+        jnp.zeros((1,))))()
+    gs_vars = jax.jit(lambda: gs_model.init(
+        key, jnp.zeros((B, 1, 3, img, img), dtype),
+        jnp.zeros((B, N, 14, hw, hw), dtype),
+        method=GSDecoderModel.init_everything))()
+    jax.block_until_ready(mv_params)
+    init_s = time.time() - t0
+
+    mv_sys = MVLDMSystem(model=mv_model, schedule=make_schedule("vprediction"),
+                         num_pred_views=N)
+    traj_sys = TrajDiTSystem(model=traj_model)
+    pipe = PrometheusPipeline(
+        mvldm=mv_sys, mvldm_params=mv_params,
+        traj=traj_sys, traj_params=traj_params,
+        gsdecoder=gs_model, gsdecoder_vars=gs_vars,
+    )
+    return pipe, init_s
+
+
+def run_once(pipe, key, *, steps, render_size, image_size):
+    result = pipe.generate(
+        "a cozy wooden cabin in a snowy forest", key,
+        num_views=8, num_inference_steps=steps, num_traj_steps=100,
+        guidance_scale=7.5, guidance_type="joint", cfg_rescale=0.7,
+        render_size=render_size, image_size=image_size,
+    )
+    jax.block_until_ready(result["images_gs_render"])
+    return result
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    render_size = 128 if small else 512
+    platform = jax.devices()[0].platform
+
+    pipe, init_s = build_flagship(small)
+    image_size = pipe.mvldm.model.image_size
+
+    key = jax.random.PRNGKey(7)
+    t0 = time.time()
+    run_once(pipe, key, steps=steps, render_size=render_size,
+             image_size=image_size)  # warm-up: includes all compiles
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(3 if small else 2):
+        t0 = time.time()
+        run_once(pipe, jax.random.PRNGKey(100 + i), steps=steps,
+                 render_size=render_size, image_size=image_size)
+        times.append(time.time() - t0)
+    best = min(times)
+
+    metric = "text_to_3dgs_seconds_e2e" + ("_small" if small else "")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(best, 3),
+        "unit": "s",
+        "vs_baseline": round(5.0 / best, 3),
+        "extra": {
+            "platform": platform, "steps": steps,
+            "render_size": render_size, "init_s": round(init_s, 1),
+            "compile_s": round(compile_s, 1), "all_times": [round(t, 3) for t in times],
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

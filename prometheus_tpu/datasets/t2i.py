@@ -1,0 +1,67 @@
+"""Text-to-image single-view dataset (SAM-1B / JourneyDB style).
+
+Parity target: ``/root/reference/prometheus/datasets/t2i_dataset.py`` — flat
+image collections with per-image captions, emitting ``images_per_iter``
+images per item for the single-view branch of stage-2 training. Caption
+cleanup heuristics kept (strip boilerplate prefixes, collapse whitespace).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+
+from .base import BaseDataset, load_annotation
+from .file_readers import make_reader
+from .transforms import center_crop_and_resize, decode_image, normalize_image
+
+_BOILERPLATE = re.compile(
+    r"^(the (image|photo) (shows|depicts|features|captures)|"
+    r"this (image|photo) (shows|depicts|features)|a photo of)\s*",
+    re.IGNORECASE,
+)
+
+
+def clean_caption(text: str) -> str:
+    text = _BOILERPLATE.sub("", text.strip())
+    text = re.sub(r"\s+", " ", text)
+    return text[:1].upper() + text[1:] if text else text
+
+
+class Text2ImageDataset(BaseDataset):
+    """Annotation: json list of {"file": ..., "caption": ...} or a dict."""
+
+    def __init__(self, root_dir: str, annotation_path: str | None = None,
+                 images_per_iter: int = 4, drop_text_p: float = 0.0, **kw):
+        kw.setdefault("dataset_name", "T2I")
+        super().__init__(**kw)
+        self.root_dir = root_dir
+        self.reader = make_reader(root_dir)
+        self.images_per_iter = images_per_iter
+        self.drop_text_p = drop_text_p
+        ann_path = annotation_path or os.path.join(root_dir, "annotations.json")
+        ann = load_annotation(ann_path)
+        if isinstance(ann, dict):
+            ann = [{"file": k, "caption": v} for k, v in sorted(ann.items())]
+        self.items = ann
+
+    def inner_len(self) -> int:
+        return len(self.items)
+
+    def get_raw_data(self, idx: int, rng):
+        images, texts = [], []
+        for k in range(self.images_per_iter):
+            item = self.items[(idx + k) % len(self.items)]
+            raw = decode_image(self.reader.fetch(item["file"]))
+            img, _ = center_crop_and_resize(raw, self.img_size)
+            images.append(normalize_image(img))
+            cap = clean_caption(item.get("caption", ""))
+            if rng.random() < self.drop_text_p:
+                cap = ""
+            texts.append(cap)
+        return {
+            "images_sv": np.stack(images),   # (M, 3, H, W)
+            "text_sv": texts,
+        }

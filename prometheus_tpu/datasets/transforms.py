@@ -1,0 +1,72 @@
+"""Image transforms for the data pipeline (numpy/PIL; host-side).
+
+Parity target: ``/root/reference/prometheus/datasets/transformations/`` —
+decode, center-crop, resize, normalize, flip. Camera intrinsics are adjusted
+alongside the pixel ops so the 18-dim camera vector stays consistent.
+"""
+from __future__ import annotations
+
+import io
+
+import numpy as np
+from PIL import Image
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """bytes -> (H, W, 3) uint8 RGB."""
+    img = Image.open(io.BytesIO(data))
+    return np.asarray(img.convert("RGB"))
+
+
+def center_crop_and_resize(img: np.ndarray, size: int,
+                           intrinsics: np.ndarray | None = None):
+    """Crop the central square and resize to ``size``^2.
+
+    ``intrinsics``: optional ``[fx, fy, cx, cy]`` (pixels) updated in place
+    semantics: returns the adjusted copy. Returns ``(img, intrinsics)``.
+    """
+    h, w = img.shape[:2]
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    img = img[top : top + s, left : left + s]
+    pil = Image.fromarray(img).resize((size, size), Image.Resampling.LANCZOS)
+    out = np.asarray(pil)
+    if intrinsics is not None:
+        fx, fy, cx, cy = intrinsics
+        scale = size / s
+        intrinsics = np.asarray([
+            fx * scale, fy * scale,
+            (cx - left) * scale, (cy - top) * scale,
+        ], np.float32)
+    return out, intrinsics
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    """uint8 (H, W, 3) -> float32 (3, H, W) in [-1, 1] (channels-first)."""
+    out = img.astype(np.float32) / 127.5 - 1.0
+    return np.moveaxis(out, -1, 0)
+
+
+def hflip(img: np.ndarray) -> np.ndarray:
+    return img[:, ::-1].copy()
+
+
+def hflip_camera(camera: np.ndarray) -> np.ndarray:
+    """Mirror a camera vector for horizontal image flips: negate the x-row
+    basis terms of c2w and mirror cx."""
+    cam = camera.copy()
+    c2w = cam[:12].reshape(3, 4)
+    # reflect about the yz-plane of the camera frame: negate first column,
+    # and negate x-axis of world offsets consistently via x-row sign flips
+    c2w[:, 0] *= -1
+    cam[:12] = c2w.reshape(-1)
+    cam[14] = cam[17] - cam[14]  # cx' = W - cx
+    return cam
+
+
+def jpeg_compress(img: np.ndarray, quality: int = 75) -> np.ndarray:
+    """JPEG round-trip augmentation (uint8 HWC)."""
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    buf.seek(0)
+    return np.asarray(Image.open(buf).convert("RGB"))

@@ -101,6 +101,12 @@ class GSDecoderModel(nn.Module):
         # flax requires a __call__ for init; decode is the canonical path.
         return self.decode_latent(latents, train=train)
 
+    def init_everything(self, images: jax.Array, latents: jax.Array):
+        """Touch encoder + decoder so ``init`` materializes all params
+        (decode alone skips the frozen VAE encoder)."""
+        _ = self.encode_image(images)
+        return self.decode_latent(latents)
+
 
 def decode_and_render(
     model: GSDecoderModel,

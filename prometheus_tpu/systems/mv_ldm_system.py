@@ -175,3 +175,113 @@ class MVLDMSystem:
 
     def encode_text(self, params, input_ids: jax.Array) -> jax.Array:
         return self.model.apply(params, input_ids, method=MVLDMModel.encode_text)
+
+    # -- training (reference forward_multi_view, mv_ldm_system.py:383-560) ----
+    def multi_view_loss(
+        self,
+        params,
+        key: jax.Array,
+        batch: dict,
+        *,
+        num_ref_views: int = 0,
+        drop_pose_p: float = 0.1,
+        drop_text_p: float = 0.1,
+        lambda_mse: float = 1.0,
+        lambda_mse_depth: float = 1.0,
+    ):
+        """Latent v-pred/EDM denoising loss on a multi-view batch.
+
+        batch: ``images_mv (B,N,3,H,W)`` in [-1,1], ``cameras_mv (B,N,18)``,
+        ``depths_mv (B,N,1,H,W)`` pseudo-disparity in [0,1],
+        ``text_emb (B,L,D)``, ``uncond_text_emb (B,L,D)``.
+        Returns ``(loss, metrics)``.
+        """
+        images, cameras = batch["images_mv"], batch["cameras_mv"]
+        depths = batch["depths_mv"]
+        B, N = images.shape[:2]
+        k_enc, k_sig, k_noise, k_perm, k_pose, k_text = jax.random.split(key, 6)
+
+        depths_in = jnp.repeat(depths * 2.0 - 1.0, 3, axis=2)
+        lat_rgb = self.model.apply(params, images, k_enc,
+                                   method=MVLDMModel.encode_image)
+        lat_depth = self.model.apply(params, depths_in, k_enc,
+                                     method=MVLDMModel.encode_image)
+        x0 = jax.lax.stop_gradient(
+            jnp.concatenate([lat_rgb, lat_depth], axis=2))  # (B,N,8,h,w)
+        h, w = x0.shape[-2:]
+
+        # view-cond reference mask (same ref set for the whole batch, as in
+        # the reference implementation)
+        is_ref = jnp.zeros((N,), bool)
+        if self.noise_type == "view_cond" and num_ref_views > 0:
+            perm = jax.random.permutation(k_perm, N)
+            is_ref = is_ref.at[perm[:num_ref_views]].set(True)
+        ref_mask = is_ref[None, :, None, None, None]            # (1,N,1,1,1)
+
+        # noise levels: one sigma per scene, shared across its views
+        sigmas = self.schedule.sample_train_sigmas(k_sig, (B,))
+        sig = sigmas[:, None, None, None, None]
+        t_cond = jnp.broadcast_to(self._t_cond(sigmas)[:, None], (B, N))
+
+        noise = jax.random.normal(k_noise, x0.shape)
+        noisy = x0 + noise * sig
+        net_in = self.schedule.c_in(sig) * noisy
+        net_in = jnp.where(ref_mask, x0, net_in)  # clean reference views
+
+        # conditioning: raymap (+mask), with per-sample pose dropout
+        rm = make_raymap(cameras, h, w)
+        keep_pose = (jax.random.uniform(k_pose, (B, 1, 1, 1, 1))
+                     >= drop_pose_p)
+        rm = rm * keep_pose
+        if self.noise_type == "view_cond":
+            vm = jnp.broadcast_to(
+                is_ref.astype(rm.dtype)[None, :, None, None, None],
+                (B, N, 1, h, w))
+            cond = jnp.concatenate([rm, vm], axis=2)
+        else:
+            cond = rm
+        net_in = jnp.concatenate([net_in, cond], axis=2)
+
+        # per-sample CFG text dropout
+        text_emb = batch["text_emb"]
+        keep_text = (jax.random.uniform(k_text, (B, 1, 1)) >= drop_text_p)
+        text_emb = jnp.where(keep_text, text_emb, batch["uncond_text_emb"])
+
+        pred = self.model.apply(params, net_in, text_emb, t_cond,
+                                method=MVLDMModel.denoise)
+        x0_pred = self.schedule.c_skip(sig) * noisy + self.schedule.c_out(sig) * pred
+        x0_pred = jnp.where(ref_mask, x0, x0_pred)
+
+        wgt = self.schedule.loss_weight(sig)
+        tgt = (~is_ref).astype(x0.dtype)[None, :, None, None, None]
+        denom = jnp.maximum(tgt.sum() * B / N, 1.0)
+
+        def masked_mse(a, b):
+            return jnp.sum(wgt * (a - b) ** 2 * tgt) / (
+                denom * a.shape[2] * h * w)
+
+        loss_mse = masked_mse(x0_pred[:, :, 0:4], x0[:, :, 0:4])
+        loss_mse_depth = masked_mse(x0_pred[:, :, 4:8], x0[:, :, 4:8])
+        loss = lambda_mse * loss_mse + lambda_mse_depth * loss_mse_depth
+        return loss, {"loss_mv_latent_mse": loss_mse,
+                      "loss_mv_latent_mse_depth": loss_mse_depth}
+
+    def single_view_loss(self, params, key: jax.Array, batch: dict,
+                         dummy_camera: jax.Array, **kw):
+        """T2I single-view batch: each image is a 1-view scene with a fixed
+        dummy camera and dropped pose conditioning
+        (reference forward_single_view, mv_ldm_system.py:167-380)."""
+        images = batch["images_sv"]          # (B, M, 3, H, W)
+        B, M = images.shape[:2]
+        sv_batch = {
+            "images_mv": images.reshape(B * M, 1, *images.shape[2:]),
+            "depths_mv": batch["depths_sv"].reshape(B * M, 1,
+                                                    *batch["depths_sv"].shape[2:]),
+            "cameras_mv": jnp.broadcast_to(dummy_camera, (B * M, 1, 18)),
+            "text_emb": jnp.repeat(batch["text_emb_sv"], M, axis=0),
+            "uncond_text_emb": jnp.repeat(batch["uncond_text_emb"], M, axis=0),
+        }
+        # pose is always dropped for 2-D data
+        loss, metrics = self.multi_view_loss(params, key, sv_batch,
+                                             drop_pose_p=1.0, **kw)
+        return loss, {f"sv_{k}": v for k, v in metrics.items()}

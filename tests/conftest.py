@@ -17,11 +17,9 @@ import jax  # noqa: E402
 # The axon plugin ignores the JAX_PLATFORMS env var; the config API works.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# Persistent compilation cache: the dominant cost of this suite is XLA
-# compiles, which are identical run-to-run.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: no persistent compilation cache — entries compiled through the axon
+# TPU tunnel target a different host arch and reload with SIGILL-risk
+# warnings; CPU compiles here are fast enough.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
