@@ -17,10 +17,19 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# NOTE: no persistent compilation cache here — the axon (tunneled TPU)
+# backend's executable serialization path stalls for minutes per entry,
+# costing far more than it saves. Compiles are paid once in the warm-up run.
+
+
+def _log(msg: str):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def build_flagship(small: bool = False):
@@ -99,14 +108,17 @@ def main():
     render_size = 128 if small else 512
     platform = jax.devices()[0].platform
 
+    _log(f"bench: building {'small' if small else 'flagship'} models...")
     pipe, init_s = build_flagship(small)
     image_size = pipe.mvldm.model.image_size
+    _log(f"bench: init done in {init_s:.1f}s; warm-up (compiles)...")
 
     key = jax.random.PRNGKey(7)
     t0 = time.time()
     run_once(pipe, key, steps=steps, render_size=render_size,
              image_size=image_size)  # warm-up: includes all compiles
     compile_s = time.time() - t0
+    _log(f"bench: warm-up done in {compile_s:.1f}s; measuring...")
 
     times = []
     for i in range(3 if small else 2):

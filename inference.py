@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Text -> 3DGS scene inference CLI.
+
+Parity target: ``/root/reference/inference.py`` — loads the bundled
+checkpoint {traj, decoder, mvldm}, runs TrajDiT -> sparse views -> MV-LDM
+sampling -> GSDecoder, and exports multi-view PNG grids, depth colormaps,
+``.ply``/``.splat`` files, and a 120-frame orbit video per prompt.
+
+Examples:
+    python inference.py --prompt "a cozy cabin" --export_dir out/
+    python inference.py --prompt_file prompts.txt --ckpt pretrained/full.ckpt
+    python inference.py --prompt "x" --small --num_steps 10   # smoke
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--prompt_file", type=str, default=None)
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="full.ckpt bundle / orbax dir; random init if absent")
+    p.add_argument("--export_dir", type=str, default="./exports")
+    p.add_argument("--num_steps", type=int, default=100)
+    p.add_argument("--num_traj_steps", type=int, default=100)
+    p.add_argument("--num_views", type=int, default=8)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--guidance_type", type=str, default="joint",
+                   choices=["none", "text", "pose", "joint", "hybrid"])
+    p.add_argument("--cfg_rescale", type=float, default=0.7)
+    p.add_argument("--render_size", type=int, default=512)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--num_video_frames", type=int, default=120)
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--no_video", action="store_true")
+    p.add_argument("--small", action="store_true",
+                   help="reduced model (smoke tests / CI)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--bpe_vocab", type=str, default=None,
+                   help="CLIP BPE merges file (exact tokenization)")
+    return p.parse_args()
+
+
+def build_pipeline(args):
+    """Construct the pipeline (checkpoint restore or random init)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_flagship
+    from prometheus_tpu.models.clip_text import CLIPTokenizer
+
+    pipe, _ = build_flagship(small=args.small)
+    if args.bpe_vocab:
+        pipe.tokenizer = CLIPTokenizer(args.bpe_vocab)
+    if args.ckpt and os.path.exists(args.ckpt):
+        from prometheus_tpu.checkpoint import restore_checkpoint
+
+        if os.path.isdir(args.ckpt):  # orbax bundle: {mvldm, traj, gsdecoder}
+            tree = restore_checkpoint(args.ckpt, target={
+                "mvldm": pipe.mvldm_params,
+                "traj": pipe.traj_params,
+                "gsdecoder": pipe.gsdecoder_vars,
+            })
+            pipe.mvldm_params = tree["mvldm"]
+            pipe.traj_params = tree["traj"]
+            pipe.gsdecoder_vars = tree["gsdecoder"]
+        else:
+            raise NotImplementedError(
+                "torch full.ckpt conversion requires tools/convert_ckpt.py "
+                "(see prometheus_tpu/checkpoint.py)")
+    else:
+        print("[inference] no checkpoint given/found - using random weights")
+    return pipe
+
+
+def export_result(result, pipe, prompt: str, out_dir: str, args) -> dict:
+    import numpy as np
+
+    from prometheus_tpu.utils import export_gaussians
+    from prometheus_tpu.utils.image import (
+        colorize_depth, make_grid, postprocess_image, save_image, save_video)
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+
+    imgs = postprocess_image(np.asarray(result["images_gs_render"][0]))
+    grid = make_grid(imgs)
+    paths["renders"] = os.path.join(out_dir, "gs_renders.png")
+    save_image(grid, paths["renders"])
+
+    imgs2d = postprocess_image(np.asarray(result["images_pred"][0]))
+    paths["images_2d"] = os.path.join(out_dir, "mv_images.png")
+    save_image(make_grid(imgs2d), paths["images_2d"])
+
+    deps = np.asarray(result["depths_pred"][0, :, 0])
+    dep_grid = make_grid(colorize_depth(deps, 0.0, 1.0))
+    paths["depths"] = os.path.join(out_dir, "mv_depths.png")
+    save_image(dep_grid, paths["depths"])
+
+    gaussians = tuple(np.asarray(g) for g in result["gaussians"])
+    export_gaussians(os.path.join(out_dir, "gaussians"), gaussians)
+    paths["ply"] = os.path.join(out_dir, "gaussians.ply")
+    paths["splat"] = os.path.join(out_dir, "gaussians.splat")
+
+    if not args.no_video:
+        frames = pipe.render_orbit_video(
+            result["gaussians"], result["dense_cameras"],
+            num_frames=args.num_video_frames, size=args.render_size)
+        frames_u8 = postprocess_image(frames)
+        paths["video"] = save_video(
+            frames_u8, os.path.join(out_dir, "orbit.mp4"), fps=args.fps)
+
+    with open(os.path.join(out_dir, "meta.json"), "w") as fp:
+        json.dump({"prompt": prompt, "paths": paths}, fp, indent=2)
+    return paths
+
+
+def main():
+    args = parse_args()
+    prompts = []
+    if args.prompt:
+        prompts.append(args.prompt)
+    if args.prompt_file:
+        with open(args.prompt_file) as fp:
+            prompts.extend(line.strip() for line in fp if line.strip())
+    if not prompts:
+        raise SystemExit("provide --prompt or --prompt_file")
+
+    import jax
+
+    pipe = build_pipeline(args)
+    for i, prompt in enumerate(prompts):
+        key = jax.random.PRNGKey(args.seed + i)
+        t0 = time.time()
+        result = pipe.generate(
+            prompt, key,
+            num_views=args.num_views,
+            num_inference_steps=args.num_steps,
+            num_traj_steps=args.num_traj_steps,
+            guidance_scale=args.guidance_scale,
+            guidance_type=args.guidance_type,
+            cfg_rescale=args.cfg_rescale,
+            render_size=args.render_size,
+            image_size=args.image_size,
+        )
+        jax.block_until_ready(result["images_gs_render"])
+        dt = time.time() - t0
+        slug = "".join(c if c.isalnum() else "_" for c in prompt[:48]).strip("_")
+        out_dir = os.path.join(args.export_dir, f"{i:03d}_{slug}")
+        paths = export_result(result, pipe, prompt, out_dir, args)
+        print(f"[{i+1}/{len(prompts)}] '{prompt}' -> {out_dir} ({dt:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
