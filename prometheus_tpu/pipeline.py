@@ -129,7 +129,7 @@ class PrometheusPipeline:
         }
         if refiner is not None:
             gaussians_sds = refiner.refine_gaussians(
-                gaussians, text[0], dense_cameras=dense, key=key)
+                gaussians, text_emb[:1], uncond_emb[:1], dense, key)
             img_sds, dep_sds, _ = render_gaussians(
                 cameras, gaussians_sds, h=render_size, w=render_size)
             result.update(gaussians_sds=gaussians_sds,

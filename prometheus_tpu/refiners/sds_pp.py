@@ -1,0 +1,257 @@
+"""SDS++ test-time 3DGS refiners (single-view SD guidance + multi-view MV-LDM).
+
+Parity targets: ``/root/reference/prometheus/modules/refiners/sds_pp_refiner.py``
+(single-view SDS++ with learnable "LoDS" negative embedding) and
+``models/mv_sdspp_refiner.py`` (guidance from the trained MV-LDM itself).
+
+TPU-first redesign: gaussians live in a fixed-capacity masked buffer
+(``gs_manager``), the per-iteration update is one jitted step (render sampled
+cameras -> encode -> noise -> guided noise-pred -> latent+image SDS losses ->
+Adam on raw gaussian params + the learnable embedding), and densify/prune is
+a separate jitted static-shape round every ``densification_interval`` steps.
+The densification statistic is the accumulated parameter-gradient magnitude
+of each gaussian's position (the screen-space-gradient analog available
+through autodiff).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.gaussian import render_gaussians
+from ..ops.schedulers import make_ddim
+from ..utils.cameras import sample_from_dense_cameras
+from .gs_manager import GaussianBuffer, activate, densify_and_prune, make_buffer
+
+DEFAULT_LRS = {
+    "xyz": 1e-4, "feats_raw": 1e-2, "opacity_raw": 5e-2,
+    "scales_raw": 5e-3, "rots_raw": 1e-3, "embedding": 1e-3,
+}
+
+
+@dataclasses.dataclass(eq=False)
+class GSRefinerSDSPlusPlus:
+    """Single-view SDS++ with an SD-2.1-class 2D U-Net as guidance.
+
+    ``denoise_fn(latents (B,4,h,w), t (B,), text_emb (B,L,D)) -> eps`` wraps
+    the guidance U-Net; ``encode_fn``/``decode_fn`` wrap the (frozen) VAE.
+    """
+
+    denoise_fn: Callable
+    encode_fn: Callable
+    decode_fn: Callable
+    guidance_scale: float = 7.5
+    num_views: int = 4          # cameras sampled per iteration
+    img_size: int = 256
+    total_iterations: int = 300
+    densification_interval: int = 100
+    capacity_factor: float = 1.5
+    min_step_ratio: float = 0.02
+    max_step_ratio: float = 0.75
+    use_lods: bool = True
+    lambda_latent_sds: float = 1.0
+    lambda_image_sds: float = 0.1
+    lambda_mask_saturation: float = 0.0
+    lambda_scale_reg: float = 10.0
+    opacity_threshold: float = 0.01
+    text_template: str = "$text$, 3D scene."
+    negative_text_template: str = "blurry, low quality, distorted"
+    lrs: dict = dataclasses.field(default_factory=lambda: dict(DEFAULT_LRS))
+
+    def __post_init__(self):
+        self.schedule = make_ddim(kind="scaled_linear")
+        n = self.schedule.num_train_timesteps
+        self.min_step = int(n * self.min_step_ratio)
+        self.max_step = int(n * self.max_step_ratio)
+
+    # ------------------------------------------------------------------
+    def _t_for_iter(self, i: jax.Array) -> jax.Array:
+        """sqrt-annealed timestep from max_step down to min_step."""
+        frac = jnp.sqrt(i / self.total_iterations)
+        return (frac * (self.min_step - self.max_step)
+                + self.max_step).astype(jnp.int32)
+
+    def _make_optimizer(self):
+        # params tree is ((xyz, feats, opacity, scales, rots), embedding) —
+        # the bool alive mask is NOT a parameter (kept out of grad/adam).
+        labels = (("xyz", "feats_raw", "opacity_raw", "scales_raw",
+                   "rots_raw"), "embedding")
+        transforms = {k: optax.adam(v) for k, v in self.lrs.items()}
+        return optax.multi_transform(transforms, labels)
+
+    # ------------------------------------------------------------------
+    def _sds_losses(self, images, depths, cams, t, text_emb, uncond_emb,
+                    learn_emb, key):
+        """images (B, 3, H, W) in [-1,1] (differentiable wrt gaussians).
+
+        ``depths``/``cams`` are unused by the single-view refiner; the
+        multi-view subclass consumes them."""
+        latents = self.encode_fn(images)
+        B = latents.shape[0]
+        tb = jnp.broadcast_to(t, (B,))
+        noise = jax.random.normal(key, latents.shape)
+        ab = self.schedule.alphas_cumprod[tb][:, None, None, None]
+        latents_noisy = jnp.sqrt(ab) * latents + jnp.sqrt(1 - ab) * noise
+
+        frozen_noisy = jax.lax.stop_gradient(latents_noisy)
+        if self.use_lods:
+            eps_learn = self.denoise_fn(
+                frozen_noisy, tb,
+                jnp.broadcast_to(learn_emb, (B,) + learn_emb.shape[1:]))
+            loss_embedding = jnp.mean((eps_learn - noise) ** 2)
+            eps_learn = jax.lax.stop_gradient(eps_learn)
+        else:
+            eps_learn = noise
+            loss_embedding = 0.0
+
+        eps = self.denoise_fn(
+            jnp.concatenate([frozen_noisy, frozen_noisy], 0),
+            jnp.concatenate([tb, tb], 0),
+            jnp.concatenate([
+                jnp.broadcast_to(text_emb, (B,) + text_emb.shape[1:]),
+                jnp.broadcast_to(uncond_emb, (B,) + uncond_emb.shape[1:])], 0))
+        eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
+        eps_g = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
+        eps_g = jax.lax.stop_gradient(eps_g)
+
+        alpha = jnp.sqrt(ab)
+        sigma = jnp.sqrt(1 - ab)
+        w = (1 - self.schedule.alphas_cumprod[tb])[:, None, None, None]
+        latents_pred = (frozen_noisy - sigma * (eps_g - eps_learn + noise)) / alpha
+        latents_pred = jax.lax.stop_gradient(latents_pred)
+        images_pred = jax.lax.stop_gradient(
+            jnp.clip(self.decode_fn(latents_pred), -1, 1))
+
+        scale = (w * alpha / sigma)[:, 0, 0, 0]
+        loss_latent = jnp.sum(
+            jnp.sum((latents - latents_pred) ** 2, axis=(1, 2, 3)) * scale) / B
+        loss_image = jnp.sum(
+            jnp.sum((images - images_pred) ** 2, axis=(1, 2, 3)) * scale) / B
+        return loss_latent, loss_image, loss_embedding
+
+    # ------------------------------------------------------------------
+    def refine_gaussians(self, gaussians, text_emb, uncond_emb,
+                         dense_cameras: jax.Array, key: jax.Array):
+        """Refine a gaussian tuple; returns the refined (activated) tuple.
+
+        ``text_emb``/``uncond_emb``: (1, L, D) prompt embeddings (templating
+        happens at the text level in the caller).
+        """
+        n0 = gaussians[0].shape[1]
+        capacity = int(n0 * self.capacity_factor)
+        buf = make_buffer(gaussians, capacity)
+        learn_emb = jnp.zeros_like(uncond_emb)
+
+        def floats_of(b: GaussianBuffer):
+            return (b.xyz, b.feats_raw, b.opacity_raw, b.scales_raw,
+                    b.rots_raw)
+
+        tx = self._make_optimizer()
+        opt_state = tx.init((floats_of(buf), learn_emb))
+        grad_stat = jnp.zeros(capacity)
+
+        @jax.jit
+        def step(buf, learn_emb, opt_state, grad_stat, i, key):
+            k_cam, k_noise, k_t = jax.random.split(key, 3)
+            ts = jax.random.uniform(k_cam, (1, self.num_views))
+            cams = sample_from_dense_cameras(dense_cameras[:1], ts)
+            t = self._t_for_iter(i)
+            alive = buf.alive
+
+            def loss_fn(args):
+                floats, emb = args
+                b = GaussianBuffer(*floats, alive=alive)
+                g = activate(b)
+                imgs, deps, masks = render_gaussians(
+                    cams, g, h=self.img_size, w=self.img_size)
+                images = imgs.reshape((-1, 3, self.img_size, self.img_size))
+                l_lat, l_img, l_emb = self._sds_losses(
+                    images, deps, cams, t, text_emb, uncond_emb, emb, k_noise)
+                loss = (self.lambda_latent_sds * l_lat
+                        + self.lambda_image_sds * l_img + l_emb)
+                if self.lambda_mask_saturation > 0:
+                    loss += self.lambda_mask_saturation * jnp.mean(
+                        (masks - 1.0) ** 2)
+                # big-gaussian regularizer
+                scal = jnp.exp(b.scales_raw).max(-1)
+                loss += self.lambda_scale_reg * jnp.sum(
+                    jnp.where(b.alive & (scal > 0.1), scal, 0.0))
+                return loss
+
+            params = (floats_of(buf), learn_emb)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            gfloats, gemb = grads
+            updates, opt_state = tx.update(grads, opt_state, params)
+            (new_floats, learn_emb) = optax.apply_updates(params, updates)
+            buf = GaussianBuffer(*new_floats, alive=alive)
+            stat = grad_stat + jnp.linalg.norm(gfloats[0], axis=-1)
+            return buf, learn_emb, opt_state, loss, stat
+
+        densify = jax.jit(partial(
+            densify_and_prune, opacity_prune=self.opacity_threshold))
+
+        for i in range(self.total_iterations):
+            key, k_i = jax.random.split(key)
+            if i > 0 and i % self.densification_interval == 0:
+                key, k_d = jax.random.split(key)
+                buf = densify(buf, grad_stat / self.densification_interval,
+                              k_d)
+                grad_stat = jnp.zeros(capacity)
+                opt_state = tx.init((floats_of(buf), learn_emb))  # reset moments
+            buf, learn_emb, opt_state, loss, grad_stat = step(
+                buf, learn_emb, opt_state, grad_stat,
+                jnp.asarray(i, jnp.float32), k_i)
+        return activate(buf)
+
+
+@dataclasses.dataclass(eq=False)
+class MultiviewSDSPPRefiner(GSRefinerSDSPlusPlus):
+    """MV-SDS++: guidance is the trained MV-LDM itself (multi-view RGB-D SDS).
+
+    Parity: ``/root/reference/prometheus/models/mv_sdspp_refiner.py`` — the
+    sampled views are denoised JOINTLY (raymap-conditioned cross-view
+    attention) in the 8-channel RGB-D latent space; the SDS pull is
+    ``||latents - x0_pred||^2`` with 1/sigma^2 weighting. Buffer, annealing,
+    and densification are inherited. ``use_lods`` is off (the MV model has no
+    LoDS path in the reference either).
+    """
+
+    mvldm_system: Any = None     # MVLDMSystem
+    mvldm_params: Any = None
+    use_lods: bool = False
+
+    def _sds_losses(self, images, depths, cams, t, text_emb, uncond_emb,
+                    learn_emb, key):
+        sys_ = self.mvldm_system
+        V = self.num_views
+        # encode RGB and rendered depth into the 8-ch RGB-D latent space
+        depth3 = jnp.repeat(
+            jnp.clip(depths, 0.0, 1.0).reshape(V, 1, self.img_size,
+                                               self.img_size) * 2 - 1,
+            3, axis=1)
+        lat_rgb = self.encode_fn(images)
+        lat_depth = self.encode_fn(depth3)
+        hw = lat_rgb.shape[-1]
+        latents = jnp.concatenate([lat_rgb, lat_depth], 1).reshape(
+            1, V, 8, hw, hw)
+
+        sch = sys_.schedule
+        sigma = sch.train_sigmas[t] if sch.train_sigmas is not None \
+            else jnp.exp(sch.p_mean + sch.p_std)
+        noise = jax.random.normal(key, latents.shape)
+        noisy = jax.lax.stop_gradient(latents) + sigma * noise
+
+        pose_emb, uncond_pose = sys_._pose_embeddings(cams, hw, hw)
+        out = sys_._guided_output(
+            self.mvldm_params, noisy, sigma, text_emb, uncond_emb,
+            pose_emb, uncond_pose, "joint", self.guidance_scale, 0.0)
+        x0 = jax.lax.stop_gradient(
+            sch.denoise_output_to_x0(noisy, out, sigma))
+        w = 1.0 / (sigma**2 + 1.0)
+        loss_latent = jnp.sum(w * (latents - x0) ** 2) / V
+        return loss_latent, 0.0, 0.0
