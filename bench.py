@@ -77,6 +77,15 @@ def build_flagship(small: bool = False):
         key, jnp.zeros((B, 1, 3, img, img), dtype),
         jnp.zeros((B, N, 14, hw, hw), dtype),
         method=GSDecoderModel.init_everything))()
+    # Inference params live in bf16: the flagship towers are ~1.9B params and
+    # would not fit the 16 GB v5e in fp32 alongside render intermediates.
+    def to_bf16(tree):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+    mv_params, traj_params, gs_vars = (to_bf16(mv_params),
+                                       to_bf16(traj_params), to_bf16(gs_vars))
     jax.block_until_ready(mv_params)
     init_s = time.time() - t0
 

@@ -11,6 +11,10 @@ from .unet_mv import MultiViewUNet
 from .mv_ldm import MVLDMModel
 from .traj_dit import TrajDiTModel, camera_to_token, token_to_camera
 from .clip_text import CLIPTextModel, CLIPTokenizer
+from .clip_image import CLIPImageEncoder
+from .gm_ldm import GMLDMModel
+from .lpips import LPIPS, make_lpips_fn
+from .depth_anything import DepthAnythingV2, make_depth_fn
 
 MODEL_REGISTRY = {
     "GSDecoderModel": GSDecoderModel,
@@ -20,6 +24,10 @@ MODEL_REGISTRY = {
     "MVLDMModel": MVLDMModel,
     "TrajDiTModel": TrajDiTModel,
     "CLIPTextModel": CLIPTextModel,
+    "CLIPImageEncoder": CLIPImageEncoder,
+    "GMLDMModel": GMLDMModel,
+    "LPIPS": LPIPS,
+    "DepthAnythingV2": DepthAnythingV2,
 }
 
 

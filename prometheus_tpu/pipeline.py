@@ -113,7 +113,7 @@ class PrometheusPipeline:
             self.mvldm_params, latents)
 
         gaussians = self.decode_gaussians(latents, cameras)
-        images_gs, depths_gs, masks_gs = render_gaussians(
+        images_gs, depths_gs, masks_gs = self.render_views_chunked(
             cameras, gaussians, h=render_size, w=render_size)
 
         result = {
@@ -130,7 +130,7 @@ class PrometheusPipeline:
         if refiner is not None:
             gaussians_sds = refiner.refine_gaussians(
                 gaussians, text_emb[:1], uncond_emb[:1], dense, key)
-            img_sds, dep_sds, _ = render_gaussians(
+            img_sds, dep_sds, _ = self.render_views_chunked(
                 cameras, gaussians_sds, h=render_size, w=render_size)
             result.update(gaussians_sds=gaussians_sds,
                           images_sds_gs_render=img_sds,
@@ -138,6 +138,21 @@ class PrometheusPipeline:
         return result
 
     # ---------------------------------------------------------------------
+    @staticmethod
+    def render_views_chunked(cameras: jax.Array, gaussians, h: int, w: int,
+                             chunk: int = 2, bg_color=None):
+        """Render (B, N) views ``chunk`` at a time: the tiled compositor's
+        per-view intermediates at 512^2 are HBM-heavy, so bounding the view
+        batch keeps peak memory flat regardless of N."""
+        outs = []
+        N = cameras.shape[1]
+        for i in range(0, N, chunk):
+            outs.append(render_gaussians(
+                cameras[:, i : i + chunk], gaussians, h=h, w=w,
+                bg_color=bg_color))
+        return tuple(jnp.concatenate([o[k] for o in outs], axis=1)
+                     for k in range(3))
+
     def render_orbit_video(self, gaussians, dense_cameras: jax.Array,
                            num_frames: int = 120, size: int = 512,
                            chunk: int = 8):

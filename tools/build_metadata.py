@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Build dataset annotation files for the annotated-scene datasets.
+
+Parity target: the reference's per-dataset ``tools/*build_metadata*`` scripts
+(DL3DV pkl annotations, MVImgNet COLMAP conversion, RE10K index.json). One
+CLI with per-format subcommands; all output matches what
+``prometheus_tpu.datasets`` consumes.
+
+Examples:
+    python tools/build_metadata.py scan-scenes --root data/dl3dv \
+        --out data/dl3dv/annotation.pkl
+    python tools/build_metadata.py re10k-index --root data/re10k/train
+    python tools/build_metadata.py colmap --root data/mvimgnet/scene0 ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def scan_scenes(root: str, out: str, image_ext: str = ".jpg"):
+    """Scan ``root/<scene>/`` directories holding frames + transforms.json
+    (nerfstudio-style) into the annotation dict format."""
+    ann = {}
+    for scene in sorted(os.listdir(root)):
+        sdir = os.path.join(root, scene)
+        tpath = os.path.join(sdir, "transforms.json")
+        if not os.path.isdir(sdir) or not os.path.exists(tpath):
+            continue
+        with open(tpath) as fp:
+            meta = json.load(fp)
+        frames, poses = [], []
+        for fr in meta.get("frames", []):
+            frames.append(os.path.join(scene, fr["file_path"]))
+            poses.append(np.asarray(fr["transform_matrix"])[:3])
+        if not frames:
+            continue
+        fx = meta.get("fl_x", meta.get("fx"))
+        fy = meta.get("fl_y", meta.get("fy", fx))
+        cx, cy = meta.get("cx"), meta.get("cy")
+        ann[scene] = {
+            "frames": frames,
+            "poses": np.stack(poses).tolist(),
+            "intrinsics": [fx, fy, cx, cy],
+            "captions": meta.get("captions", []),
+        }
+    with open(out, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] {len(ann)} scenes -> {out}")
+
+
+def re10k_index(root: str):
+    """Index pixelsplat-style .torch chunks: scene key -> chunk file."""
+    import torch
+
+    index = {}
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".torch"):
+            continue
+        chunk = torch.load(os.path.join(root, name), map_location="cpu",
+                           weights_only=True)
+        if isinstance(chunk, dict):
+            chunk = [chunk]
+        for entry in chunk:
+            index[entry["key"]] = name
+    out = os.path.join(root, "index.json")
+    with open(out, "w") as fp:
+        json.dump(index, fp)
+    print(f"[metadata] {len(index)} scenes -> {out}")
+
+
+def colmap_to_annotation(root: str, out: str):
+    """Convert COLMAP text exports (cameras.txt/images.txt) to annotations."""
+    cams = {}
+    with open(os.path.join(root, "cameras.txt")) as fp:
+        for line in fp:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            cam_id, model = int(parts[0]), parts[1]
+            p = list(map(float, parts[4:]))
+            if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+                fx = fy = p[0]
+                cx, cy = p[1], p[2]
+            else:  # PINHOLE / OPENCV
+                fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+            cams[cam_id] = [fx, fy, cx, cy]
+
+    from prometheus_tpu.utils.quaternion import quaternion_to_matrix
+    import jax.numpy as jnp
+
+    frames, poses, intr = [], [], []
+    with open(os.path.join(root, "images.txt")) as fp:
+        lines = [ln for ln in fp if not ln.startswith("#") and ln.strip()]
+    for ln in lines[::2]:  # every other line is 2D points
+        parts = ln.split()
+        qw, qx, qy, qz = map(float, parts[1:5])
+        tx, ty, tz = map(float, parts[5:8])
+        cam_id, name = int(parts[8]), parts[9]
+        R = np.asarray(quaternion_to_matrix(jnp.asarray([qw, qx, qy, qz])))
+        # COLMAP stores world->cam; invert to c2w (OpenCV), datasets convert
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = [tx, ty, tz]
+        poses.append(np.linalg.inv(w2c)[:3])
+        frames.append(name)
+        intr.append(cams[cam_id])
+    scene = os.path.basename(root.rstrip("/"))
+    ann = {scene: {"frames": frames,
+                   "poses": np.stack(poses).tolist(),
+                   "intrinsics": intr, "captions": []}}
+    with open(out, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] {len(frames)} frames ({scene}) -> {out}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    s1 = sub.add_parser("scan-scenes")
+    s1.add_argument("--root", required=True)
+    s1.add_argument("--out", required=True)
+    s2 = sub.add_parser("re10k-index")
+    s2.add_argument("--root", required=True)
+    s3 = sub.add_parser("colmap")
+    s3.add_argument("--root", required=True)
+    s3.add_argument("--out", required=True)
+    args = ap.parse_args()
+    if args.cmd == "scan-scenes":
+        scan_scenes(args.root, args.out)
+    elif args.cmd == "re10k-index":
+        re10k_index(args.root)
+    elif args.cmd == "colmap":
+        colmap_to_annotation(args.root, args.out)
+
+
+if __name__ == "__main__":
+    main()
