@@ -1,0 +1,162 @@
+"""Pallas TPU kernel for per-tile 3DGS alpha compositing (inference fast path).
+
+The production XLA path (``tiled.py``) is differentiable and fully fused by
+XLA, but its per-chunk gathers and (T, P, C) intermediates are HBM-bound.
+This kernel keeps a whole tile's worklist in VMEM and expresses the
+front-to-back scan as MXU matmuls:
+
+    logs    = log1p(-alpha)                       # (P, C)   VPU
+    cum     = logs @ L_strict                     # (P, C)   MXU: exclusive
+                                                  #   prefix-sum over the
+                                                  #   instance axis via a
+                                                  #   strictly-lower-tri ones
+    weights = alpha * exp(cum) * T_carry          # (P, C)   VPU
+    out    += weights @ [r g b z]                 # (P, 4)   MXU
+    T_carry *= exp(rowsum(logs))                  # (P,)     VPU
+
+Layout: tile worklists are pre-binned/gathered by the same XLA sort used in
+``tiled.py`` and materialized channel-major ``(T, 16, K)`` so the instance
+axis is the 128-lane dimension. Dead slots carry zero opacity. Forward-only:
+training uses the autodiff XLA path; this kernel serves rendering/eval/video.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .naive import ALPHA_CUTOFF, MAX_ALPHA
+from .projection import Projected
+from .tiled import _tile_instances
+
+CHUNK = 128
+# packed channel rows in the (16, K) tile worklist
+_CH_MEANX, _CH_MEANY, _CH_CA, _CH_CB, _CH_CC = 0, 1, 2, 3, 4
+_CH_R, _CH_G, _CH_B, _CH_OP, _CH_Z = 5, 6, 7, 8, 9
+N_CH = 16  # padded to a TPU-friendly sublane count
+
+
+def bin_and_gather(proj: Projected, colors, opacities, img_h, img_w,
+                   tile_size=16, capacity=512, max_tiles=(4, 4)):
+    """Sort-and-gather the per-tile worklists: returns ``(T, 16, K)``."""
+    grid_h, grid_w = img_h // tile_size, img_w // tile_size
+    n_tiles = grid_h * grid_w
+    tile_id, depth_key, gauss_idx = _tile_instances(
+        proj, tile_size, grid_w, grid_h, max_tiles)
+    _, _, sorted_gauss = jax.lax.sort((tile_id, depth_key, gauss_idx),
+                                      num_keys=2)
+    sorted_tile = jnp.sort(tile_id)
+    starts = jnp.searchsorted(sorted_tile,
+                              jnp.arange(n_tiles, dtype=jnp.int32))
+    ends = jnp.searchsorted(sorted_tile,
+                            jnp.arange(n_tiles, dtype=jnp.int32), side="right")
+    counts = jnp.minimum(ends - starts, capacity)
+
+    n_inst = sorted_gauss.shape[0]
+    offs = jnp.arange(capacity, dtype=jnp.int32)
+    idx = jnp.clip(starts[:, None] + offs[None, :], 0, n_inst - 1)  # (T, K)
+    in_seg = offs[None, :] < counts[:, None]
+    g = sorted_gauss[idx]                                           # (T, K)
+
+    depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
+    rows = jnp.stack([
+        proj.mean2d[g, 0], proj.mean2d[g, 1],
+        proj.conic[g, 0], proj.conic[g, 1], proj.conic[g, 2],
+        colors[g, 0], colors[g, 1], colors[g, 2],
+        jnp.where(in_seg, opacities[g], 0.0),   # dead slots: zero opacity
+        depth_safe[g],
+    ], axis=1)                                                      # (T, 10, K)
+    pad = jnp.zeros((n_tiles, N_CH - 10, capacity), rows.dtype)
+    return jnp.concatenate([rows, pad], axis=1)
+
+
+def _kernel(data_ref, out_ref, *, tile_size, grid_w, capacity):
+    """One tile: data block (1, 16, K) -> out block (1, 8, P)."""
+    t = pl.program_id(0)
+    p = tile_size * tile_size
+    x0 = (t % grid_w) * tile_size
+    y0 = (t // grid_w) * tile_size
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px_x = (pix % tile_size + x0).astype(jnp.float32) + 0.5
+    px_y = (pix // tile_size + y0).astype(jnp.float32) + 0.5
+
+    # strictly-lower-triangular ones: exclusive prefix sums via MXU
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    l_strict = (row_i < col_j).astype(jnp.float32)
+
+    n_chunks = capacity // CHUNK
+
+    def body(k, carry):
+        rgb, dep, acc_a, t_carry = carry
+        blk = data_ref[0, :, pl.ds(k * CHUNK, CHUNK)]      # (16, C)
+        dx = px_x - blk[_CH_MEANX][None, :]                # (P, C)
+        dy = px_y - blk[_CH_MEANY][None, :]
+        sigma = 0.5 * (blk[_CH_CA][None, :] * dx * dx
+                       + blk[_CH_CC][None, :] * dy * dy) \
+            + blk[_CH_CB][None, :] * dx * dy
+        alpha = jnp.minimum(MAX_ALPHA, blk[_CH_OP][None, :]
+                            * jnp.exp(-jnp.minimum(sigma, 30.0)))
+        alpha = jnp.where((alpha >= ALPHA_CUTOFF) & (sigma >= 0), alpha, 0.0)
+        logs = jnp.log1p(-alpha)
+        cum = jnp.dot(logs, l_strict, preferred_element_type=jnp.float32)
+        w = alpha * jnp.exp(cum) * t_carry                 # (P, C)
+        cd = jnp.concatenate([
+            blk[_CH_R][None, :], blk[_CH_G][None, :], blk[_CH_B][None, :],
+            blk[_CH_Z][None, :]], axis=0)                  # (4, C)
+        acc = jnp.dot(w, cd.T, preferred_element_type=jnp.float32)  # (P, 4)
+        rgb = rgb + acc[:, :3]
+        dep = dep + acc[:, 3:4]
+        asum = jnp.sum(w, axis=1, keepdims=True)
+        acc_a = acc_a + asum
+        t_carry = t_carry * jnp.exp(jnp.sum(logs, axis=1, keepdims=True))
+        return rgb, dep, acc_a, t_carry
+
+    init = (jnp.zeros((p, 3), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32), jnp.ones((p, 1), jnp.float32))
+    rgb, dep, acc_a, t_carry = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    out = jnp.concatenate(
+        [rgb, dep, acc_a, jnp.zeros((p, 3), jnp.float32)], axis=1)  # (P, 8)
+    out_ref[0, :, :] = out.T
+
+
+@partial(jax.jit, static_argnames=("img_h", "img_w", "tile_size", "capacity",
+                                   "max_tiles", "interpret"))
+def composite_tiled_pallas(proj: Projected, colors, opacities, img_h, img_w,
+                           tile_size: int = 16, capacity: int = 512,
+                           max_tiles: tuple = (4, 4), interpret: bool = False):
+    """Pallas-accelerated analog of ``composite_tiled`` (forward only).
+
+    Returns ``(rgb (H,W,3), expected_depth (H,W), alpha (H,W))``.
+    """
+    grid_h, grid_w = img_h // tile_size, img_w // tile_size
+    n_tiles = grid_h * grid_w
+    p = tile_size * tile_size
+    data = bin_and_gather(proj, colors, opacities, img_h, img_w,
+                          tile_size, capacity, max_tiles)
+
+    out = pl.pallas_call(
+        partial(_kernel, tile_size=tile_size, grid_w=grid_w,
+                capacity=capacity),
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec((1, N_CH, capacity),
+                               lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, p), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, p), jnp.float32),
+        interpret=interpret,
+    )(data)
+
+    out = out.reshape(grid_h, grid_w, 8, tile_size, tile_size)
+    out = out.transpose(2, 0, 3, 1, 4).reshape(8, img_h, img_w)
+    rgb = jnp.moveaxis(out[:3], 0, -1)
+    acc_a = out[4]
+    dep = out[3] / jnp.maximum(acc_a, 1e-10)
+    return rgb, dep, acc_a

@@ -27,7 +27,7 @@ DEFAULT_BACKGROUND = (1.0, 1.0, 1.0)
 
 def _render_one_view(
     camera, xyz, colors, opacity, scales, rotations,
-    h, w, tile_size, tile_capacity, max_tiles, near,
+    h, w, tile_size, tile_capacity, max_tiles, near, backend,
 ):
     """Render one camera (18-dim vector) of one scene's gaussians."""
     c2w = camera_c2w(camera)
@@ -38,17 +38,26 @@ def _render_one_view(
     proj = project_gaussians(
         xyz, scales, rotations, w2c, fx, fy, cx, cy, h, w, near=near
     )
-    rgb, depth, alpha = composite_tiled(
-        proj, colors, opacity, h, w,
-        tile_size=tile_size, tile_capacity=tile_capacity,
-        max_tiles_y=max_tiles[0], max_tiles_x=max_tiles[1],
-    )
+    if backend == "pallas":  # forward-only TPU fast path
+        from .pallas_kernel import composite_tiled_pallas
+
+        rgb, depth, alpha = composite_tiled_pallas(
+            proj, colors, opacity, h, w, tile_size=tile_size,
+            capacity=tile_capacity, max_tiles=max_tiles,
+        )
+    else:
+        rgb, depth, alpha = composite_tiled(
+            proj, colors, opacity, h, w,
+            tile_size=tile_size, tile_capacity=tile_capacity,
+            max_tiles_y=max_tiles[0], max_tiles_x=max_tiles[1],
+        )
     return rgb, depth, alpha
 
 
 @partial(
     jax.jit,
-    static_argnames=("h", "w", "tile_size", "tile_capacity", "max_tiles", "near"),
+    static_argnames=("h", "w", "tile_size", "tile_capacity", "max_tiles",
+                     "near", "backend"),
 )
 def render_gaussians(
     cameras: jax.Array,  # (B, N, 18)
@@ -61,6 +70,7 @@ def render_gaussians(
     tile_capacity: int = 1024,
     max_tiles: tuple = (4, 4),
     near: float = 0.01,
+    backend: str = "xla",   # 'xla' (differentiable) | 'pallas' (fwd-only)
 ):
     """Returns ``(images (B,N,3,h,w) in [-1,1], depths (B,N,1,h,w),
     masks (B,N,1,h,w))`` — the reference renderer's output contract."""
@@ -75,7 +85,7 @@ def render_gaussians(
     view_fn = partial(
         _render_one_view,
         h=h, w=w, tile_size=tile_size, tile_capacity=tile_capacity,
-        max_tiles=max_tiles, near=near,
+        max_tiles=max_tiles, near=near, backend=backend,
     )
     # vmap over views (gaussians broadcast), then over batch.
     per_scene = jax.vmap(view_fn, in_axes=(0, None, None, None, None, None))
