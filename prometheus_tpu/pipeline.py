@@ -8,6 +8,7 @@ Parity target: ``/root/reference/inference.py`` (text -> TrajDiT trajectory
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any
 
 import jax
@@ -23,6 +24,17 @@ from .utils import sample_from_dense_cameras
 from .utils.rays import raymap as make_raymap
 
 
+@partial(jax.jit, static_argnames=("gsdecoder", "gs_kwargs_items"))
+def _decode_gaussians_jit(gsdecoder, gsdecoder_vars, latents, cameras,
+                          gs_kwargs_items):
+    B, N, _, h, w = latents.shape
+    rm = make_raymap(cameras, h, w).astype(latents.dtype)
+    latents_in = jnp.concatenate([latents, rm], axis=2)  # (B,N,14,h,w)
+    raw = gsdecoder.apply(gsdecoder_vars, latents_in,
+                          method=GSDecoderModel.decode_latent)
+    return convert_gaussians(raw, cameras, **dict(gs_kwargs_items))
+
+
 @dataclasses.dataclass(eq=False)
 class PrometheusPipeline:
     """Bundles the three model stages + parameters (the ``full.ckpt`` analog)."""
@@ -36,6 +48,14 @@ class PrometheusPipeline:
     tokenizer: CLIPTokenizer = dataclasses.field(default_factory=CLIPTokenizer)
     gs_kwargs: dict = dataclasses.field(
         default_factory=lambda: dict(z_near=0.01, z_far=100.0, s_min=0.001, s_max=1.0))
+    render_backend: str = "auto"   # 'auto' | 'xla' | 'pallas'
+
+    def _backend(self) -> str:
+        if self.render_backend != "auto":
+            return self.render_backend
+        # the Pallas compositor is ~2x the XLA path on TPU (forward-only,
+        # which is all inference needs)
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
     # ---------------------------------------------------------------------
     def encode_text(self, texts) -> jax.Array:
@@ -58,12 +78,9 @@ class PrometheusPipeline:
 
     def decode_gaussians(self, latents: jax.Array, cameras: jax.Array):
         """x0 RGB-D latents (B,N,8,h,w) + cameras -> gaussian tuple."""
-        B, N, _, h, w = latents.shape
-        rm = make_raymap(cameras, h, w)
-        latents_in = jnp.concatenate([latents, rm], axis=2)  # (B,N,14,h,w)
-        raw = self.gsdecoder.apply(self.gsdecoder_vars, latents_in,
-                                   method=GSDecoderModel.decode_latent)
-        return convert_gaussians(raw, cameras, **self.gs_kwargs)
+        return _decode_gaussians_jit(
+            self.gsdecoder, self.gsdecoder_vars, latents, cameras,
+            tuple(sorted(self.gs_kwargs.items())))
 
     # ---------------------------------------------------------------------
     def generate(
@@ -114,7 +131,8 @@ class PrometheusPipeline:
 
         gaussians = self.decode_gaussians(latents, cameras)
         images_gs, depths_gs, masks_gs = self.render_views_chunked(
-            cameras, gaussians, h=render_size, w=render_size)
+            cameras, gaussians, h=render_size, w=render_size,
+            backend=self._backend())
 
         result = {
             "cameras": cameras,
@@ -140,7 +158,8 @@ class PrometheusPipeline:
     # ---------------------------------------------------------------------
     @staticmethod
     def render_views_chunked(cameras: jax.Array, gaussians, h: int, w: int,
-                             chunk: int = 2, bg_color=None):
+                             chunk: int = 2, bg_color=None,
+                             backend: str = "xla"):
         """Render (B, N) views ``chunk`` at a time: the tiled compositor's
         per-view intermediates at 512^2 are HBM-heavy, so bounding the view
         batch keeps peak memory flat regardless of N."""
@@ -149,7 +168,7 @@ class PrometheusPipeline:
         for i in range(0, N, chunk):
             outs.append(render_gaussians(
                 cameras[:, i : i + chunk], gaussians, h=h, w=w,
-                bg_color=bg_color))
+                bg_color=bg_color, backend=backend))
         return tuple(jnp.concatenate([o[k] for o in outs], axis=1)
                      for k in range(3))
 
@@ -160,8 +179,10 @@ class PrometheusPipeline:
         t = jnp.linspace(0, 1, num_frames)[None]
         cams = sample_from_dense_cameras(dense_cameras[:1], t)  # (1, T, 18)
         frames = []
+        backend = self._backend()
         for i in range(0, num_frames, chunk):
             imgs, deps, _ = render_gaussians(
-                cams[:, i : i + chunk], gaussians, h=size, w=size)
+                cams[:, i : i + chunk], gaussians, h=size, w=size,
+                backend=backend)
             frames.append(np.asarray(imgs[0]))
         return np.concatenate(frames, axis=0)

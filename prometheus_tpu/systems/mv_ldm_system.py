@@ -163,16 +163,19 @@ class MVLDMSystem:
         return x0s[-1]
 
     # -- decoding ---------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",))
     def decode_images_and_depths(self, params, latents: jax.Array):
         """x0 latents (B,N,8,h,w) -> (images (B,N,3,H,W) in [-1,1],
         depths (B,N,1,H,W) in [0,1])."""
-        imgs = self.model.apply(params, latents[:, :, 0:4],
-                                method=MVLDMModel.decode_latent)
-        deps = self.model.apply(params, latents[:, :, 4:8],
-                                method=MVLDMModel.decode_latent)
+        # one batched VAE decode for RGB + depth latents (not two passes)
+        B, N = latents.shape[:2]
+        both = jnp.concatenate([latents[:, :, 0:4], latents[:, :, 4:8]], 1)
+        dec = self.model.apply(params, both, method=MVLDMModel.decode_latent)
+        imgs, deps = dec[:, :N], dec[:, N:]
         deps = deps.mean(axis=2, keepdims=True) / 2.0 + 0.5
         return imgs, deps
 
+    @partial(jax.jit, static_argnames=("self",))
     def encode_text(self, params, input_ids: jax.Array) -> jax.Array:
         return self.model.apply(params, input_ids, method=MVLDMModel.encode_text)
 
