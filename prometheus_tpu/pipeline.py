@@ -49,6 +49,9 @@ class PrometheusPipeline:
     gs_kwargs: dict = dataclasses.field(
         default_factory=lambda: dict(z_near=0.01, z_far=100.0, s_min=0.001, s_max=1.0))
     render_backend: str = "auto"   # 'auto' | 'xla' | 'pallas'
+    image_encoder: Any = None      # CLIPImageEncoder (image-to-3D task)
+    image_encoder_params: Any = None
+    depth_fn: Any = None           # pseudo-depth teacher for image-to-3D
 
     def _backend(self) -> str:
         if self.render_backend != "auto":
@@ -154,6 +157,65 @@ class PrometheusPipeline:
                           images_sds_gs_render=img_sds,
                           depths_sds_gs_render=dep_sds)
         return result
+
+    # ---------------------------------------------------------------------
+    def generate_image_to_3d(
+        self,
+        ref_images: jax.Array,    # (1, R, 3, H, W) in [-1, 1]
+        cameras: jax.Array,       # (1, N, 18); first R views are the refs
+        key: jax.Array,
+        ref_idx: tuple = (0,),
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        cfg_rescale: float = 0.7,
+        render_size: int = 512,
+        latent_hw: int | None = None,
+    ) -> dict:
+        """Image-to-3D: CLIP image embeddings replace text conditioning and
+        the reference views are pinned to their clean latents during sampling
+        (reference ``mv_ldm_system.py:865-905``)."""
+        assert self.image_encoder is not None and self.depth_fn is not None, \
+            "image-to-3D needs image_encoder(+params) and depth_fn"
+        B, N = cameras.shape[:2]
+        R = ref_images.shape[1]
+        hw = latent_hw or self.mvldm.model.latent_size
+
+        flat = ref_images.reshape((B * R,) + ref_images.shape[2:])
+        cond = self.image_encoder.apply(self.image_encoder_params, flat)
+        cond = cond.reshape(B, -1, cond.shape[-1])
+        uncond = self.image_encoder.apply(
+            self.image_encoder_params, jnp.zeros_like(flat))
+        uncond = uncond.reshape(B, -1, uncond.shape[-1])
+
+        # clean RGB-D latents for the reference views
+        disp = self.depth_fn(ref_images)
+        depth3 = jnp.repeat(disp * 2.0 - 1.0, 3, axis=2)
+        enc = lambda x: self.mvldm.model.apply(
+            self.mvldm_params, x, method=type(self.mvldm.model).encode_image)
+        ref_latents_rd = jnp.concatenate([enc(ref_images), enc(depth3)], 2)
+
+        view_mask = jnp.zeros((B, N, 1, hw, hw))
+        ref_latents = jnp.zeros((B, N, 8, hw, hw), ref_latents_rd.dtype)
+        for k, idx in enumerate(ref_idx):
+            view_mask = view_mask.at[:, idx].set(1.0)
+            ref_latents = ref_latents.at[:, idx].set(ref_latents_rd[:, k])
+
+        latents = self.mvldm.sample(
+            self.mvldm_params, key, cameras, cond, uncond,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, guidance_type="joint",
+            cfg_rescale=cfg_rescale, latent_hw=hw,
+            view_mask=view_mask, ref_latents=ref_latents)
+        images_pred, depths_pred = self.mvldm.decode_images_and_depths(
+            self.mvldm_params, latents)
+        gaussians = self.decode_gaussians(latents, cameras)
+        imgs, deps, masks = self.render_views_chunked(
+            cameras, gaussians, h=render_size, w=render_size,
+            backend=self._backend())
+        return {"cameras": cameras, "latents_pred": latents,
+                "images_pred": images_pred, "depths_pred": depths_pred,
+                "gaussians": gaussians, "images_gs_render": imgs,
+                "depths_gs_render": deps, "masks_gs_render": masks}
 
     # ---------------------------------------------------------------------
     @staticmethod

@@ -269,6 +269,77 @@ class MVLDMSystem:
         return loss, {"loss_mv_latent_mse": loss_mse,
                       "loss_mv_latent_mse_depth": loss_mse_depth}
 
+    def rendering_loss(
+        self,
+        gs_system,               # GSDecoderSystem (frozen stage-1 decoder)
+        gs_variables,
+        latents_pred: jax.Array,  # (B, n, 8, h, w) x0 predictions
+        cameras: jax.Array,       # (B, n, 18) cameras of those latents
+        images_gt: jax.Array,     # (B, N, 3, H, W)
+        depths_gt: jax.Array,     # (B, N, 1, H, W) pseudo-disparity
+        cameras_gt: jax.Array,    # (B, N, 18) supervision views
+        *,
+        rendering_size: int = 256,
+        lambda_mse: float = 1.0,
+        lambda_lpips: float = 0.0,
+        lambda_depth: float = 0.5,
+    ):
+        """End-to-end rendering loss through the (frozen) GSDecoder +
+        rasterizer on the stage-2 x0 predictions
+        (reference ``rendering_loss_fn``, mv_ldm_system.py:1039-1125).
+
+        Returns ``(loss, metrics)``; gradients flow into ``latents_pred``.
+        """
+        from ..ops.gaussian import render_gaussians
+        from ..utils.rays import raymap as _raymap
+        from .depth_loss import scale_and_shift_invariant_loss
+        from .gs_decoder_system import psnr as _psnr
+        from ..models.gs_decoder import GSDecoderModel
+
+        B, n, _, h, w = latents_pred.shape
+        rm = _raymap(cameras, h, w).astype(latents_pred.dtype)
+        latents_in = jnp.concatenate([latents_pred, rm], axis=2)
+        raw = gs_system.model.apply(
+            gs_variables, latents_in, method=GSDecoderModel.decode_latent)
+        from ..ops.gaussian import convert_gaussians
+
+        gaussians = convert_gaussians(raw, cameras, **gs_system.gs_kwargs)
+        imgs, deps, masks = render_gaussians(
+            cameras_gt, gaussians, h=rendering_size, w=rendering_size)
+
+        gt = images_gt
+        if gt.shape[-1] != rendering_size:
+            gt = jax.image.resize(
+                gt, gt.shape[:3] + (rendering_size, rendering_size),
+                method="bilinear")
+        gt_disp = depths_gt
+        if gt_disp.shape[-1] != rendering_size:
+            gt_disp = jax.image.resize(
+                gt_disp, gt_disp.shape[:3] + (rendering_size, rendering_size),
+                method="bilinear")
+
+        loss = 0.0
+        metrics = {}
+        loss_mse = jnp.mean((imgs - gt) ** 2)
+        metrics["loss_gs_image_mse"] = loss_mse
+        metrics["psnr_gs"] = _psnr(imgs, gt)
+        loss += lambda_mse * loss_mse
+        if lambda_lpips and gs_system.lpips_fn is not None:
+            loss_lpips = gs_system.lpips_fn(imgs, gt)
+            metrics["loss_gs_image_lpips"] = loss_lpips
+            loss += lambda_lpips * loss_lpips
+        if lambda_depth:
+            pred_disp = 1.0 / jnp.clip(deps, 0.1, 100.0)
+            valid = (deps > 0.1).astype(jnp.float32)
+            BN = pred_disp.shape[0] * pred_disp.shape[1]
+            rs = rendering_size
+            loss_depth = scale_and_shift_invariant_loss(
+                pred_disp.reshape(BN, rs, rs), gt_disp.reshape(BN, rs, rs),
+                valid.reshape(BN, rs, rs))
+            metrics["loss_gs_depth"] = loss_depth
+            loss += lambda_depth * loss_depth
+        return loss, metrics
+
     def single_view_loss(self, params, key: jax.Array, batch: dict,
                          dummy_camera: jax.Array, **kw):
         """T2I single-view batch: each image is a 1-view scene with a fixed
