@@ -151,6 +151,9 @@ def composite_tiled_pallas(proj: Projected, colors, opacities, img_h, img_w,
         out_specs=pl.BlockSpec((1, 8, p), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, p), jnp.float32),
+        # tiles are independent -> megacore-parallel grid
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(data)
 
