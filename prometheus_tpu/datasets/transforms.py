@@ -70,3 +70,43 @@ def jpeg_compress(img: np.ndarray, quality: int = 75) -> np.ndarray:
     Image.fromarray(img).save(buf, format="JPEG", quality=quality)
     buf.seek(0)
     return np.asarray(Image.open(buf).convert("RGB"))
+
+
+def random_crop_and_resize(img: np.ndarray, size: int, rng,
+                           min_scale: float = 0.6,
+                           intrinsics: np.ndarray | None = None):
+    """Random square crop (scale in [min_scale, 1] of the short side) +
+    resize; intrinsics adjusted like :func:`center_crop_and_resize`."""
+    h, w = img.shape[:2]
+    s = min(h, w)
+    crop = int(s * (min_scale + (1.0 - min_scale) * rng.random()))
+    top = rng.randrange(max(h - crop, 0) + 1)
+    left = rng.randrange(max(w - crop, 0) + 1)
+    patch = img[top : top + crop, left : left + crop]
+    out = np.asarray(Image.fromarray(patch).resize(
+        (size, size), Image.Resampling.LANCZOS))
+    if intrinsics is not None:
+        fx, fy, cx, cy = intrinsics
+        scale = size / crop
+        intrinsics = np.asarray([
+            fx * scale, fy * scale,
+            (cx - left) * scale, (cy - top) * scale], np.float32)
+    return out, intrinsics
+
+
+def adjust_hsv(img: np.ndarray, dh: float = 0.0, ds: float = 0.0,
+               dv: float = 0.0) -> np.ndarray:
+    """Hue shift (degrees/360), saturation/value scale offsets (uint8 HWC)."""
+    hsv = np.asarray(Image.fromarray(img).convert("HSV")).astype(np.int16)
+    hsv[..., 0] = (hsv[..., 0] + int(dh * 255)) % 256
+    hsv[..., 1] = np.clip(hsv[..., 1] * (1.0 + ds), 0, 255)
+    hsv[..., 2] = np.clip(hsv[..., 2] * (1.0 + dv), 0, 255)
+    return np.asarray(
+        Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB"))
+
+
+def gaussian_blur(img: np.ndarray, radius: float = 1.0) -> np.ndarray:
+    from PIL import ImageFilter
+
+    return np.asarray(Image.fromarray(img).filter(
+        ImageFilter.GaussianBlur(radius)))

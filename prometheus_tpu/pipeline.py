@@ -220,11 +220,14 @@ class PrometheusPipeline:
     # ---------------------------------------------------------------------
     @staticmethod
     def render_views_chunked(cameras: jax.Array, gaussians, h: int, w: int,
-                             chunk: int = 2, bg_color=None,
+                             chunk: int | None = None, bg_color=None,
                              backend: str = "xla"):
-        """Render (B, N) views ``chunk`` at a time: the tiled compositor's
+        """Render (B, N) views ``chunk`` at a time: the XLA compositor's
         per-view intermediates at 512^2 are HBM-heavy, so bounding the view
-        batch keeps peak memory flat regardless of N."""
+        batch keeps peak memory flat. The Pallas compositor keeps its
+        worklists small, so it takes all views in one dispatch."""
+        if chunk is None:
+            chunk = cameras.shape[1] if backend == "pallas" else 2
         outs = []
         N = cameras.shape[1]
         for i in range(0, N, chunk):
