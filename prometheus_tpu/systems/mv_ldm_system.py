@@ -162,6 +162,105 @@ class MVLDMSystem:
         x, x0s = jax.lax.scan(body, x, jnp.arange(num_inference_steps))
         return x0s[-1]
 
+    # -- 3D-mode sampling ------------------------------------------------------
+    def render_to_latent(self, params, gs_system, gs_variables, images,
+                         depths, cameras):
+        """Re-encode GS renders into the RGB-D latent space
+        (reference ``render_to_latent``): images (B,N,3,H,W) in [-1,1],
+        depths (B,N,1,H,W) metric -> normalized disparity."""
+        from .depth_loss import depth_to_disp
+
+        disp = 1.0 / jnp.clip(depths, 0.1, 100.0)
+        lo = disp.min(axis=(2, 3, 4), keepdims=True)
+        hi = disp.max(axis=(2, 3, 4), keepdims=True)
+        disp = (disp - lo) / jnp.maximum(hi - lo, 1e-6)
+        depth3 = jnp.repeat(disp * 2.0 - 1.0, 3, axis=2)
+        lat_rgb = self.model.apply(params, images,
+                                   method=MVLDMModel.encode_image)
+        lat_d = self.model.apply(params, depth3,
+                                 method=MVLDMModel.encode_image)
+        return jnp.concatenate([lat_rgb, lat_d], axis=2)
+
+    def sample_with_3d_mode(
+        self,
+        params,
+        gs_system,            # GSDecoderSystem (for model + gs kwargs)
+        gs_variables,
+        key: jax.Array,
+        cameras: jax.Array,
+        text_embeddings: jax.Array,
+        uncond_text_embeddings: jax.Array,
+        num_inference_steps: int = 50,
+        use_3d_mode_every_m_steps: int = 10,
+        guidance_scale: float = 7.5,
+        guidance_type: str = "joint",
+        cfg_rescale: float = 0.7,
+        latent_hw: int = 32,
+        render_size: int = 256,
+    ):
+        """Sampling with CAT3D/Director3D-style render-consistent steps every
+        ``m`` steps (reference ``use_3d_mode``, mv_ldm_system.py:798-815):
+        the x0 prediction is decoded to gaussians, re-rendered, re-encoded,
+        and the ODE step is taken towards the render-consistent latents.
+        Python-level loop (each branch is jitted); guidance scale is boosted
+        by m/(m-1) to compensate the unguided 3D steps."""
+        assert use_3d_mode_every_m_steps != 1
+        from ..models.gs_decoder import GSDecoderModel
+        from ..ops.gaussian import convert_gaussians, render_gaussians
+
+        B, N = cameras.shape[:2]
+        h = w = latent_hw
+        m = use_3d_mode_every_m_steps
+        if m > 0:
+            guidance_scale = guidance_scale * m / (m - 1)
+        pose_emb, uncond_pose_emb = self._pose_embeddings(cameras, h, w)
+        sigmas = self.schedule.inference_sigmas(num_inference_steps)
+        if self.adjust_sigma_on_n:
+            sigmas = sigmas / jnp.sqrt(self.num_pred_views / N)
+        x = sigmas[0] * jax.random.normal(
+            key, (B, N, 2 * self.latent_channel, h, w))
+
+        @partial(jax.jit, static_argnames=())
+        def guided_x0(x, sigma):
+            out = self._guided_output(
+                params, x, sigma, text_embeddings, uncond_text_embeddings,
+                pose_emb, uncond_pose_emb, guidance_type, guidance_scale,
+                cfg_rescale)
+            return self.schedule.denoise_output_to_x0(x, out, sigma)
+
+        @jax.jit
+        def unguided_x0(x, sigma):
+            out = self._guided_output(
+                params, x, sigma, text_embeddings, uncond_text_embeddings,
+                pose_emb, uncond_pose_emb, "none", 1.0, 0.0)
+            return self.schedule.denoise_output_to_x0(x, out, sigma)
+
+        @jax.jit
+        def render_consistent(x0):
+            from ..utils.rays import raymap as _raymap
+
+            rm = _raymap(cameras, h, w).astype(x0.dtype)
+            raw = gs_system.model.apply(
+                gs_variables, jnp.concatenate([x0, rm], 2),
+                method=GSDecoderModel.decode_latent)
+            gaussians = convert_gaussians(raw, cameras,
+                                          **gs_system.gs_kwargs)
+            imgs, deps, _ = render_gaussians(cameras, gaussians,
+                                             h=render_size, w=render_size)
+            return self.render_to_latent(params, gs_system, gs_variables,
+                                         imgs, deps, cameras)
+
+        x0 = None
+        for i in range(num_inference_steps):
+            sigma, sigma_next = sigmas[i], sigmas[i + 1]
+            use_3d = m > 0 and ((num_inference_steps - 1 - i) % m == 0)
+            if use_3d:
+                x0 = render_consistent(unguided_x0(x, sigma))
+            else:
+                x0 = guided_x0(x, sigma)
+            x = self.schedule.euler_step(x, x0, sigma, sigma_next)
+        return x0
+
     # -- decoding ---------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self",))
     def decode_images_and_depths(self, params, latents: jax.Array):
