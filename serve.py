@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Batched multi-prompt text -> 3DGS serving (BASELINE config 5).
+
+Shards a batch of prompts over the device mesh's ``data`` axis — diffusion
+sampling, gaussian decoding, and tile rasterization all run SPMD — and
+reports scenes/min throughput. On one chip this amortizes compilation and
+keeps the MXU fed with a larger effective batch.
+
+Usage:
+    python serve.py --prompt_file prompts.txt --batch_size 8 [--small]
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python serve.py --selftest       # sharded dry-run on a CPU mesh
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def generate_batch(pipe, prompts: list[str], key, mesh=None, *,
+                   num_views=8, num_inference_steps=50, guidance_scale=7.5,
+                   cfg_rescale=0.7, render_size=512, image_size=256,
+                   latent_hw=None):
+    """Run the full pipeline on a batch of prompts, optionally sharded."""
+    import jax
+    import jax.numpy as jnp
+
+    from prometheus_tpu.parallel import data_sharding
+
+    B = len(prompts)
+    text_emb = pipe.encode_text(prompts)
+    uncond = jnp.broadcast_to(pipe.encode_text([""]), text_emb.shape)
+    k_traj, k_mv = jax.random.split(key)
+    dense = pipe.generate_trajectory(k_traj, text_emb, num_steps=100,
+                                     image_size=image_size)
+    cameras = pipe.sparse_views(dense, num_views)
+
+    if mesh is not None:
+        s = data_sharding(mesh)
+        text_emb, uncond, cameras = (jax.device_put(x, s)
+                                     for x in (text_emb, uncond, cameras))
+
+    hw = latent_hw or pipe.mvldm.model.latent_size
+    latents = pipe.mvldm.sample(
+        pipe.mvldm_params, k_mv, cameras, text_emb, uncond,
+        num_inference_steps=num_inference_steps,
+        guidance_scale=guidance_scale, guidance_type="joint",
+        cfg_rescale=cfg_rescale, latent_hw=hw)
+    gaussians = pipe.decode_gaussians(latents, cameras)
+    imgs, deps, masks = pipe.render_views_chunked(
+        cameras, gaussians, h=render_size, w=render_size,
+        backend=pipe._backend())
+    return {"cameras": cameras, "dense_cameras": dense,
+            "latents_pred": latents, "gaussians": gaussians,
+            "images_gs_render": imgs, "depths_gs_render": deps}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--prompt_file", default=None)
+    ap.add_argument("--prompt", default=None)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--num_steps", type=int, default=50)
+    ap.add_argument("--num_views", type=int, default=8)
+    ap.add_argument("--render_size", type=int, default=512)
+    ap.add_argument("--export_dir", default=None)
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--selftest", action="store_true",
+                    help="tiny sharded batch on the local mesh, then exit")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.selftest and os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from bench import build_flagship
+    from prometheus_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    n_dev = mesh.shape["data"]
+    print(f"[serve] mesh: {n_dev} device(s)")
+
+    if args.selftest:
+        pipe, _ = build_flagship(small=True)
+        prompts = [f"selftest scene {i}" for i in range(n_dev)]
+        t0 = time.time()
+        out = generate_batch(pipe, prompts, jax.random.PRNGKey(0), mesh,
+                             num_views=4, num_inference_steps=2,
+                             render_size=64, image_size=pipe.mvldm.model.image_size,
+                             latent_hw=pipe.mvldm.model.latent_size)
+        jax.block_until_ready(out["images_gs_render"])
+        assert out["images_gs_render"].shape[0] == n_dev
+        print(f"[serve] selftest OK: {n_dev} prompts sharded over {n_dev} "
+              f"devices in {time.time()-t0:.1f}s")
+        return
+
+    prompts = []
+    if args.prompt:
+        prompts = [args.prompt] * args.batch_size
+    elif args.prompt_file:
+        with open(args.prompt_file) as fp:
+            prompts = [l.strip() for l in fp if l.strip()]
+    if not prompts:
+        raise SystemExit("provide --prompt or --prompt_file")
+
+    pipe, _ = build_flagship(small=args.small)
+    key = jax.random.PRNGKey(0)
+    # warm-up on the first batch size
+    bs = min(args.batch_size, len(prompts))
+    t0 = time.time()
+    out = generate_batch(pipe, prompts[:bs], key, mesh,
+                         num_views=args.num_views,
+                         num_inference_steps=args.num_steps,
+                         render_size=args.render_size,
+                         image_size=pipe.mvldm.model.image_size)
+    jax.block_until_ready(out["images_gs_render"])
+    warm = time.time() - t0
+
+    done = 0
+    t0 = time.time()
+    for i in range(0, len(prompts), bs):
+        chunk = prompts[i : i + bs]
+        if len(chunk) < bs:
+            chunk = chunk + [""] * (bs - len(chunk))
+        out = generate_batch(pipe, chunk, jax.random.PRNGKey(i), mesh,
+                             num_views=args.num_views,
+                             num_inference_steps=args.num_steps,
+                             render_size=args.render_size,
+                             image_size=pipe.mvldm.model.image_size)
+        jax.block_until_ready(out["images_gs_render"])
+        done += len(chunk)
+        if args.export_dir:
+            import numpy as np
+
+            from prometheus_tpu.utils import export_gaussians
+
+            os.makedirs(args.export_dir, exist_ok=True)
+            g = tuple(np.asarray(x) for x in out["gaussians"])
+            for b, p in enumerate(chunk):
+                gb = tuple(x[b : b + 1] for x in g)
+                export_gaussians(
+                    os.path.join(args.export_dir, f"{i + b:04d}"), gb)
+    dt = time.time() - t0
+    print(json.dumps({
+        "scenes": done, "seconds": round(dt, 2),
+        "scenes_per_min_per_chip": round(done / dt * 60 / max(n_dev, 1), 2),
+        "warmup_s": round(warm, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,20 +109,50 @@ def main():
     towers = split_full_ckpt(args.full_ckpt)
     pipe, _ = build_flagship(small=args.small)
 
+    from prometheus_tpu.weight_maps import (apply_weight_map, map_clip_text,
+                                            map_ldm_unet, map_ldm_vae)
+
     report = {}
     traj_params = jax.tree.map(np.asarray, pipe.traj_params)
     mapped, unmapped = convert_tower(
         towers["traj"], map_trajdit_key, traj_params["params"])
     report["traj"] = {"mapped": mapped, "unmapped": unmapped}
 
-    # mvldm / decoder tower mapping tables grow with verification against the
-    # published checkpoint; unmapped keys are reported loudly below.
-    report["mvldm"] = {"mapped": 0,
-                       "unmapped": sorted(towers["mvldm"].keys())[:20],
-                       "note": "UNet/VAE mapping table pending (round 2)"}
-    report["decoder"] = {"mapped": 0,
-                         "unmapped": sorted(towers["decoder"].keys())[:20],
-                         "note": "GSDecoder mapping table pending (round 2)"}
+    def strip(sd: dict, prefix: str) -> dict:
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+
+    # --- mvldm tower: model.unet.* / model.vae.* / model.text_encoder.* ----
+    mv_params = jax.tree.map(np.asarray, pipe.mvldm_params)
+    mv_sd = towers["mvldm"]
+    n_lv = len(pipe.mvldm.model.channel_mult)
+    m1, miss1 = apply_weight_map(
+        strip(mv_sd, "model.unet."),
+        map_ldm_unet(n_lv, pipe.mvldm.model.num_res_blocks),
+        mv_params["params"], prefix="unet/")
+    m2, miss2 = apply_weight_map(
+        strip(mv_sd, "model.vae."), map_ldm_vae(),
+        mv_params["params"], prefix="vae/")
+    m3, miss3 = apply_weight_map(
+        strip(mv_sd, "model.text_encoder."),
+        map_clip_text(pipe.mvldm.model.clip_layers),
+        mv_params["params"], prefix="text_encoder/")
+    report["mvldm"] = {"mapped": m1 + m2 + m3,
+                       "missing": miss1 + miss2 + miss3}
+
+    # --- decoder tower: model.vae.* (gaussian-headed) + cross_view_dit.* ---
+    gs_vars = jax.tree.map(np.asarray, pipe.gsdecoder_vars)
+    gs_sd = towers["decoder"]
+    m4, miss4 = apply_weight_map(
+        strip(gs_sd, "model.vae."), map_ldm_vae(),
+        gs_vars["params"], prefix="vae/")
+    report["decoder"] = {"mapped": m4, "missing": miss4,
+                         "note": "cross_view_dit mapping follows the "
+                                 "raydiff layout; report unmapped below",
+                         "unmapped_dit": sorted(
+                             strip(gs_sd, "model.cross_view_dit.").keys())[:10]}
+    pipe.mvldm_params = mv_params
+    pipe.gsdecoder_vars = gs_vars
 
     state = {
         "mvldm": jax.tree.map(np.asarray, pipe.mvldm_params),
