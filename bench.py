@@ -130,12 +130,29 @@ def main():
     _log(f"bench: warm-up done in {compile_s:.1f}s; measuring...")
 
     times = []
+    result = None
     for i in range(3 if small else 2):
         t0 = time.time()
-        run_once(pipe, jax.random.PRNGKey(100 + i), steps=steps,
-                 render_size=render_size, image_size=image_size)
+        result = run_once(pipe, jax.random.PRNGKey(100 + i), steps=steps,
+                          render_size=render_size, image_size=image_size)
         times.append(time.time() - t0)
     best = min(times)
+
+    # secondary metric: splat render FPS at the render resolution
+    from prometheus_tpu.ops.gaussian import render_gaussians
+
+    cams = result["cameras"]
+    gaussians = result["gaussians"]
+    backend = pipe._backend()
+    jax.block_until_ready(render_gaussians(
+        cams, gaussians, h=render_size, w=render_size, backend=backend))
+    n_frames = cams.shape[1] * 4
+    t0 = time.time()
+    for _ in range(4):
+        out = render_gaussians(cams, gaussians, h=render_size, w=render_size,
+                               backend=backend)
+    jax.block_until_ready(out)
+    render_fps = n_frames / (time.time() - t0)
 
     metric = "text_to_3dgs_seconds_e2e" + ("_small" if small else "")
     print(json.dumps({
@@ -146,7 +163,10 @@ def main():
         "extra": {
             "platform": platform, "steps": steps,
             "render_size": render_size, "init_s": round(init_s, 1),
-            "compile_s": round(compile_s, 1), "all_times": [round(t, 3) for t in times],
+            "compile_s": round(compile_s, 1),
+            "all_times": [round(t, 3) for t in times],
+            "render_fps": round(render_fps, 1),
+            "num_gaussians": int(result["gaussians"][0].shape[1]),
         },
     }))
 
