@@ -1,0 +1,296 @@
+"""Pallas backward kernel for tile compositing + the full custom-VJP wrapper.
+
+Completes the from-scratch rasterizer (SURVEY.md hard part #1): with this,
+``composite_pallas_diff`` is a drop-in differentiable compositor whose
+forward AND backward run as Pallas TPU kernels, with the projection math
+differentiated by XLA autodiff around them.
+
+Backward math (per pixel p, instances i front-to-back, w_i = alpha_i T_i):
+
+    C       = sum_i c_i w_i            (+ background handled outside)
+    A       = sum_i w_i
+    u_i     = c_i . gC_p + z_i . gZ_p + gA_p          (value-dot-grad)
+    dL/dalpha_i = u_i T_i - S_i / (1 - alpha_i)
+        where S_i = sum_{j>i} u_j w_j  (suffix sums: strictly-UPPER-tri
+        matmuls within a chunk + a carried total across chunks, walking the
+        chunks in reverse)
+    dL/dc_i = gC_p w_i ;  dL/dz_i = gZ_p w_i   (accumulated over pixels
+        as (C, P) @ (P, ch) MXU matmuls)
+    dL/dsigma_i = -alpha_i dL/dalpha_i ;  dL/do_i = exp(-sigma) dL/dalpha_i
+    chain to mean2d/conic via the quadratic form.
+
+The kernel recomputes alpha/T (flash-attention-style rematerialization): a
+first forward sweep stores each chunk's starting transmittance in VMEM
+scratch, then the reverse sweep reconstructs per-instance T_i exactly.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .naive import ALPHA_CUTOFF, MAX_ALPHA
+from .pallas_kernel import (
+    CHUNK,
+    N_CH,
+    _CH_CA,
+    _CH_CB,
+    _CH_CC,
+    _CH_MEANX,
+    _CH_MEANY,
+    _CH_OP,
+    _CH_R,
+    _CH_Z,
+    bin_and_gather,
+    composite_tiled_pallas,
+)
+from .projection import Projected
+from .tiled import _tile_instances
+
+MAX_CHUNKS = 32  # scratch capacity: up to 32*128 = 4096 instances per tile
+
+
+def _bwd_kernel(data_ref, gout_ref, gdata_ref, tstart_ref, *,
+                tile_size, grid_w, capacity):
+    """grads wrt the packed tile data.
+
+    blocks: data (1, 16, K); gout (1, 8, P) upstream grads packed as rows
+    [gC r, g, b, gZ, gA, 0, 0, 0]; out gdata (1, 16, K) with the same channel
+    rows as data (mean2d, conic, color, opacity, depth; pad rows zero).
+    """
+    p = tile_size * tile_size
+    t = pl.program_id(0)
+    x0 = (t % grid_w) * tile_size
+    y0 = (t // grid_w) * tile_size
+
+    pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px_x = (pix % tile_size + x0).astype(jnp.float32) + 0.5
+    px_y = (pix // tile_size + y0).astype(jnp.float32) + 0.5
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    l_strict = (row_i < col_j).astype(jnp.float32)   # exclusive prefix (fwd)
+    u_strict = (row_i > col_j).astype(jnp.float32)   # exclusive suffix (bwd)
+
+    n_chunks = capacity // CHUNK
+
+    def alphas_of(k):
+        blk = data_ref[0, :, pl.ds(k * CHUNK, CHUNK)]
+        dx = px_x - blk[_CH_MEANX][None, :]
+        dy = px_y - blk[_CH_MEANY][None, :]
+        sigma = 0.5 * (blk[_CH_CA][None, :] * dx * dx
+                       + blk[_CH_CC][None, :] * dy * dy) \
+            + blk[_CH_CB][None, :] * dx * dy
+        alpha_raw = blk[_CH_OP][None, :] * jnp.exp(-jnp.minimum(sigma, 30.0))
+        live = (alpha_raw >= ALPHA_CUTOFF) & (alpha_raw < MAX_ALPHA) \
+            & (sigma >= 0)
+        alpha = jnp.where((alpha_raw >= ALPHA_CUTOFF) & (sigma >= 0),
+                          jnp.minimum(alpha_raw, MAX_ALPHA), 0.0)
+        return blk, dx, dy, alpha, live
+
+    # ---- pass 1 (forward): record each chunk's starting transmittance ----
+    def fwd(k, t_carry):
+        tstart_ref[:, pl.ds(k, 1)] = t_carry
+        _, _, _, alpha, _ = alphas_of(k)
+        logs = jnp.log1p(-alpha)
+        return t_carry * jnp.exp(jnp.sum(logs, axis=1, keepdims=True))
+
+    t_final = jax.lax.fori_loop(0, n_chunks, fwd,
+                                jnp.ones((p, 1), jnp.float32))
+
+    g = gout_ref[0]                                    # (8, P)
+    g_rgb = g[0:3].T                                   # (P, 3)
+    g_z = g[3:4].T                                     # (P, 1)
+    g_a = g[4:5].T                                     # (P, 1)
+
+    # ---- pass 2 (reverse): suffix sums + per-instance grads ----
+    def bwd(kk, suffix_carry):
+        k = n_chunks - 1 - kk
+        blk, dx, dy, alpha, live = alphas_of(k)
+        logs = jnp.log1p(-alpha)
+        cum = jnp.dot(logs, l_strict, preferred_element_type=jnp.float32)
+        t_in = jnp.exp(cum) * tstart_ref[:, pl.ds(k, 1)]    # T_i  (P, C)
+        w = alpha * t_in
+        # value-dot-grad per (pixel, instance)
+        cd = jnp.concatenate([blk[_CH_R:_CH_R + 3], blk[_CH_Z:_CH_Z + 1]], 0)
+        g_cz = jnp.concatenate([g_rgb, g_z], 1)             # (P, 4)
+        u = jnp.dot(g_cz, cd, preferred_element_type=jnp.float32) + g_a
+        uw = u * w
+        # suffix over later instances: within-chunk upper-tri + carry
+        suffix = jnp.dot(uw, u_strict,
+                         preferred_element_type=jnp.float32) + suffix_carry
+        one_m = jnp.maximum(1.0 - alpha, 1e-3)  # alpha clamped at 0.999
+        d_alpha = u * t_in - suffix / one_m
+        d_alpha = jnp.where(live, d_alpha, 0.0)
+        d_sigma = -alpha * d_alpha
+        # accumulate per-instance grads (reduce over pixels)
+        d_op = jnp.sum(jnp.where(live, d_alpha, 0.0)
+                       * jnp.where(blk[_CH_OP][None, :] > 0,
+                                   alpha / jnp.maximum(
+                                       blk[_CH_OP][None, :], 1e-8), 0.0),
+                       axis=0)
+        a_c = blk[_CH_CA][None, :]
+        b_c = blk[_CH_CB][None, :]
+        c_c = blk[_CH_CC][None, :]
+        dsig_dx = a_c * dx + b_c * dy
+        dsig_dy = c_c * dy + b_c * dx
+        d_meanx = jnp.sum(d_sigma * (-dsig_dx), axis=0)
+        d_meany = jnp.sum(d_sigma * (-dsig_dy), axis=0)
+        d_ca = jnp.sum(d_sigma * 0.5 * dx * dx, axis=0)
+        d_cb = jnp.sum(d_sigma * dx * dy, axis=0)
+        d_cc = jnp.sum(d_sigma * 0.5 * dy * dy, axis=0)
+        d_col = jnp.dot(g_rgb.T, w, preferred_element_type=jnp.float32)  # (3, C)
+        d_z = jnp.dot(g_z.T, w, preferred_element_type=jnp.float32)      # (1, C)
+
+        grads = jnp.concatenate([
+            d_meanx[None, :], d_meany[None, :],
+            d_ca[None, :], d_cb[None, :], d_cc[None, :],
+            d_col, d_op[None, :], d_z,
+            jnp.zeros((N_CH - 10, CHUNK), jnp.float32),
+        ], axis=0)                                          # (16, C)
+        gdata_ref[0, :, pl.ds(k * CHUNK, CHUNK)] = grads
+        return suffix_carry + jnp.sum(uw, axis=1, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, bwd, jnp.zeros((p, 1), jnp.float32))
+
+
+def _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
+                     interpret=False):
+    grid_h, grid_w = img_h // tile_size, img_w // tile_size
+    n_tiles = grid_h * grid_w
+    p = tile_size * tile_size
+    return pl.pallas_call(
+        partial(_bwd_kernel, tile_size=tile_size, grid_w=grid_w,
+                capacity=capacity),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, N_CH, capacity), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, p), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N_CH, capacity), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, N_CH, capacity), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((p, MAX_CHUNKS), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(data, gout)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP compositor
+# ---------------------------------------------------------------------------
+
+def _gather_indices(proj, img_h, img_w, tile_size, capacity, max_tiles):
+    """The (T, K) gaussian indices + validity mask of the tile worklists."""
+    grid_h, grid_w = img_h // tile_size, img_w // tile_size
+    n_tiles = grid_h * grid_w
+    tile_id, depth_key, gauss_idx = _tile_instances(
+        proj, tile_size, grid_w, grid_h, max_tiles)
+    _, _, sorted_gauss = jax.lax.sort((tile_id, depth_key, gauss_idx),
+                                      num_keys=2)
+    sorted_tile = jnp.sort(tile_id)
+    r = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, r)
+    ends = jnp.searchsorted(sorted_tile, r, side="right")
+    counts = jnp.minimum(ends - starts, capacity)
+    offs = jnp.arange(capacity, dtype=jnp.int32)
+    idx = jnp.clip(starts[:, None] + offs[None, :], 0,
+                   sorted_gauss.shape[0] - 1)
+    in_seg = offs[None, :] < counts[:, None]
+    return sorted_gauss[idx], in_seg
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def composite_pallas_diff(mean2d, conic, depth, radius, validf, colors,
+                          opacities, img_h, img_w, tile_size, capacity,
+                          interpret):
+    """Differentiable Pallas compositor over pre-projected gaussians.
+
+    ``radius``/``validf`` (float 0/1 mask) only gate binning; their
+    gradients are zero. Returns (rgb, expected_depth, alpha)."""
+    proj = Projected(mean2d, conic, depth, radius, validf > 0.5)
+    return composite_tiled_pallas(
+        proj, colors, opacities, img_h, img_w, tile_size=tile_size,
+        capacity=capacity, interpret=interpret)
+
+
+def _fwd(mean2d, conic, depth, radius, validf, colors, opacities, img_h,
+         img_w, tile_size, capacity, interpret):
+    out = composite_pallas_diff(mean2d, conic, depth, radius, validf, colors,
+                                opacities, img_h, img_w, tile_size, capacity,
+                                interpret)
+    return out, (mean2d, conic, depth, radius, validf, colors, opacities)
+
+
+def _bwd(img_h, img_w, tile_size, capacity, interpret, res, gouts):
+    mean2d, conic, depth, radius, validf, colors, opacities = res
+    proj = Projected(mean2d, conic, depth, radius, validf > 0.5)
+    g_rgb, g_dep, g_alpha = gouts
+    grid_h, grid_w = img_h // tile_size, img_w // tile_size
+    p = tile_size * tile_size
+
+    # Chain the expected-depth division (ED = acc_d / max(alpha, eps)) and
+    # re-pack upstream grads into the kernel's (T, 8, P) layout.
+    _, dep, acc_a = composite_tiled_pallas(
+        proj, colors, opacities, img_h, img_w, tile_size=tile_size,
+        capacity=capacity, interpret=interpret)
+    safe_a = jnp.maximum(acc_a, 1e-10)
+    g_acc_d = g_dep / safe_a
+    g_a_total = g_alpha - g_dep * dep / safe_a
+
+    def tile_pack(img):  # (H, W, c) -> (T, c, P)
+        c = img.shape[-1]
+        out = img.reshape(grid_h, tile_size, grid_w, tile_size, c)
+        return out.transpose(0, 2, 4, 1, 3).reshape(grid_h * grid_w, c, p)
+
+    gout = jnp.concatenate([
+        tile_pack(g_rgb),
+        tile_pack(g_acc_d[..., None]),
+        tile_pack(g_a_total[..., None]),
+        jnp.zeros((grid_h * grid_w, 3, p), jnp.float32),
+    ], axis=1)
+
+    data = bin_and_gather(proj, colors, opacities, img_h, img_w,
+                          tile_size, capacity)
+    gdata = _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
+                             interpret=interpret)
+
+    idx, in_seg = _gather_indices(proj, img_h, img_w, tile_size, capacity,
+                                  (4, 4))
+    n = mean2d.shape[0]
+    flat_idx = idx.reshape(-1)
+    mask = in_seg.reshape(-1)[:, None]
+
+    def seg(ch_lo, ch_hi):
+        vals = gdata[:, ch_lo:ch_hi, :].transpose(0, 2, 1).reshape(
+            -1, ch_hi - ch_lo)
+        return jax.ops.segment_sum(jnp.where(mask, vals, 0.0), flat_idx,
+                                   num_segments=n)
+
+    d_mean2d = seg(0, 2)
+    d_conic = seg(2, 5)
+    d_colors = seg(5, 8)
+    d_op = seg(8, 9)[:, 0]
+    d_depth = seg(9, 10)[:, 0]
+    return (d_mean2d, d_conic, d_depth, jnp.zeros_like(radius),
+            jnp.zeros_like(validf), d_colors, d_op)
+
+
+composite_pallas_diff.defvjp(_fwd, _bwd)
+
+
+def composite_tiled_pallas_grad(proj: Projected, colors, opacities,
+                                img_h, img_w, tile_size: int = 16,
+                                capacity: int = 512,
+                                interpret: bool = False):
+    """Differentiable entry point matching ``composite_tiled``'s signature."""
+    return composite_pallas_diff(
+        proj.mean2d, proj.conic, proj.depth, proj.radius,
+        proj.valid.astype(jnp.float32), colors, opacities,
+        img_h, img_w, tile_size, capacity, interpret)

@@ -16,8 +16,9 @@ front-to-back scan as MXU matmuls:
 
 Layout: tile worklists are pre-binned/gathered by the same XLA sort used in
 ``tiled.py`` and materialized channel-major ``(T, 16, K)`` so the instance
-axis is the 128-lane dimension. Dead slots carry zero opacity. Forward-only:
-training uses the autodiff XLA path; this kernel serves rendering/eval/video.
+axis is the 128-lane dimension. Dead slots carry zero opacity. The matching
+backward kernel + custom VJP live in ``pallas_backward.py``, making the
+Pallas path fully differentiable (training and inference).
 """
 from __future__ import annotations
 

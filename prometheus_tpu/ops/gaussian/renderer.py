@@ -38,12 +38,12 @@ def _render_one_view(
     proj = project_gaussians(
         xyz, scales, rotations, w2c, fx, fy, cx, cy, h, w, near=near
     )
-    if backend == "pallas":  # forward-only TPU fast path
-        from .pallas_kernel import composite_tiled_pallas
+    if backend == "pallas":  # Pallas fwd+bwd kernels (differentiable)
+        from .pallas_backward import composite_tiled_pallas_grad
 
-        rgb, depth, alpha = composite_tiled_pallas(
+        rgb, depth, alpha = composite_tiled_pallas_grad(
             proj, colors, opacity, h, w, tile_size=tile_size,
-            capacity=tile_capacity, max_tiles=max_tiles,
+            capacity=tile_capacity,
         )
     else:
         rgb, depth, alpha = composite_tiled(
@@ -70,7 +70,7 @@ def render_gaussians(
     tile_capacity: int = 1024,
     max_tiles: tuple = (4, 4),
     near: float = 0.01,
-    backend: str = "xla",   # 'xla' (differentiable) | 'pallas' (fwd-only)
+    backend: str = "xla",   # 'xla' | 'pallas' (both differentiable)
 ):
     """Returns ``(images (B,N,3,h,w) in [-1,1], depths (B,N,1,h,w),
     masks (B,N,1,h,w))`` — the reference renderer's output contract."""

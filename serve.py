@@ -3,8 +3,10 @@
 
 Shards a batch of prompts over the device mesh's ``data`` axis — diffusion
 sampling, gaussian decoding, and tile rasterization all run SPMD — and
-reports scenes/min throughput. On one chip this amortizes compilation and
-keeps the MXU fed with a larger effective batch.
+reports scenes/min throughput. Size the batch to the mesh: the flagship
+models (bf16) fill a 16 GB v5e at one scene per chip, so use
+``--batch_size == num_chips`` (batch 1 on a single chip; the single-scene
+latency benchmark is ``bench.py``).
 
 Usage:
     python serve.py --prompt_file prompts.txt --batch_size 8 [--small]
