@@ -20,8 +20,10 @@ Backward math (per pixel p, instances i front-to-back, w_i = alpha_i T_i):
     chain to mean2d/conic via the quadratic form.
 
 The kernel recomputes alpha/T (flash-attention-style rematerialization): a
-first forward sweep stores each chunk's starting transmittance in VMEM
-scratch, then the reverse sweep reconstructs per-instance T_i exactly.
+first forward sweep accumulates the total log-transmittance, then the
+reverse sweep reconstructs each chunk's starting T in log space by
+subtracting chunk totals — exact, and free of dynamic-index scratch stores
+(which Mosaic cannot prove lane-aligned).
 """
 from __future__ import annotations
 
@@ -50,10 +52,8 @@ from .pallas_kernel import (
 from .projection import Projected
 from .tiled import _tile_instances
 
-MAX_CHUNKS = 32  # scratch capacity: up to 32*128 = 4096 instances per tile
 
-
-def _bwd_kernel(data_ref, gout_ref, gdata_ref, tstart_ref, *,
+def _bwd_kernel(data_ref, gout_ref, gdata_ref, *,
                 tile_size, grid_w, capacity):
     """grads wrt the packed tile data.
 
@@ -91,15 +91,15 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, tstart_ref, *,
                           jnp.minimum(alpha_raw, MAX_ALPHA), 0.0)
         return blk, dx, dy, alpha, live
 
-    # ---- pass 1 (forward): record each chunk's starting transmittance ----
-    def fwd(k, t_carry):
-        tstart_ref[:, pl.ds(k, 1)] = t_carry
+    # ---- pass 1 (forward): total log-transmittance only; the reverse pass
+    # reconstructs each chunk's starting T in log space (no dynamic-index
+    # scratch stores, which Mosaic cannot prove lane-aligned) ----
+    def fwd(k, log_t):
         _, _, _, alpha, _ = alphas_of(k)
-        logs = jnp.log1p(-alpha)
-        return t_carry * jnp.exp(jnp.sum(logs, axis=1, keepdims=True))
+        return log_t + jnp.sum(jnp.log1p(-alpha), axis=1, keepdims=True)
 
-    t_final = jax.lax.fori_loop(0, n_chunks, fwd,
-                                jnp.ones((p, 1), jnp.float32))
+    log_t_final = jax.lax.fori_loop(0, n_chunks, fwd,
+                                    jnp.zeros((p, 1), jnp.float32))
 
     g = gout_ref[0]                                    # (8, P)
     g_rgb = g[0:3].T                                   # (P, 3)
@@ -107,12 +107,15 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, tstart_ref, *,
     g_a = g[4:5].T                                     # (P, 1)
 
     # ---- pass 2 (reverse): suffix sums + per-instance grads ----
-    def bwd(kk, suffix_carry):
+    def bwd(kk, carry):
+        suffix_carry, log_t_after = carry
         k = n_chunks - 1 - kk
         blk, dx, dy, alpha, live = alphas_of(k)
         logs = jnp.log1p(-alpha)
+        chunk_total = jnp.sum(logs, axis=1, keepdims=True)
+        log_t_start = log_t_after - chunk_total
         cum = jnp.dot(logs, l_strict, preferred_element_type=jnp.float32)
-        t_in = jnp.exp(cum) * tstart_ref[:, pl.ds(k, 1)]    # T_i  (P, C)
+        t_in = jnp.exp(cum + log_t_start)                   # T_i  (P, C)
         w = alpha * t_in
         # value-dot-grad per (pixel, instance)
         cd = jnp.concatenate([blk[_CH_R:_CH_R + 3], blk[_CH_Z:_CH_Z + 1]], 0)
@@ -152,9 +155,11 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, tstart_ref, *,
             jnp.zeros((N_CH - 10, CHUNK), jnp.float32),
         ], axis=0)                                          # (16, C)
         gdata_ref[0, :, pl.ds(k * CHUNK, CHUNK)] = grads
-        return suffix_carry + jnp.sum(uw, axis=1, keepdims=True)
+        return (suffix_carry + jnp.sum(uw, axis=1, keepdims=True),
+                log_t_start)
 
-    jax.lax.fori_loop(0, n_chunks, bwd, jnp.zeros((p, 1), jnp.float32))
+    jax.lax.fori_loop(0, n_chunks, bwd,
+                      (jnp.zeros((p, 1), jnp.float32), log_t_final))
 
 
 def _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
@@ -175,7 +180,6 @@ def _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
         out_specs=pl.BlockSpec((1, N_CH, capacity), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, N_CH, capacity), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((p, MAX_CHUNKS), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
