@@ -60,6 +60,33 @@ def export_cameras_ply(path: str, cameras: np.ndarray, depth: float = 0.3,
     return path
 
 
+def write_html_gallery(path: str, entries: list[dict],
+                       title: str = "prometheus-tpu gallery") -> str:
+    """Self-contained HTML gallery (the reference's html visualizer analog).
+
+    ``entries``: [{"title": ..., "images": [relative paths], "video": ...}].
+    """
+    rows = []
+    for e in entries:
+        imgs = "".join(
+            f'<img src="{p}" loading="lazy">' for p in e.get("images", []))
+        vid = (f'<video src="{e["video"]}" controls loop muted></video>'
+               if e.get("video") else "")
+        rows.append(
+            f'<div class="row"><h3>{e.get("title", "")}</h3>'
+            f'<div class="media">{imgs}{vid}</div></div>')
+    html = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>{title}</title><style>
+body{{font-family:sans-serif;background:#111;color:#eee;margin:2rem}}
+.row{{margin-bottom:2rem}} .media{{display:flex;gap:8px;flex-wrap:wrap}}
+img,video{{max-height:260px;border-radius:6px}}
+h3{{margin:0 0 .5rem 0;font-weight:500}}
+</style></head><body><h1>{title}</h1>{''.join(rows)}</body></html>"""
+    with open(path, "w") as fp:
+        fp.write(html)
+    return path
+
+
 def plot_cameras_png(path: str, cameras: np.ndarray, size: int = 512,
                      depth: float = 0.3) -> str:
     """Orthographic top-down (xz) projection of frusta as a quick PNG."""

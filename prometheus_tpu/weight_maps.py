@@ -142,6 +142,29 @@ def map_ldm_vae(num_levels: int = 4, num_res_blocks: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# Cross-view DiT (raydiff naming, reference modules/ray_diff.py + the
+# GSDecoder conv_in/conv_out wrappers from models/gs_decoder.py)
+# ---------------------------------------------------------------------------
+
+def map_raydiff_dit(depth: int = 16) -> Iterator[tuple]:
+    yield "conv_in.conv", "conv_in/conv", "conv"
+    yield "conv_out.conv", "conv_out/conv/Conv_0", "conv"
+    yield "x_embedder.proj", "dit/x_embedder", "conv"
+    yield "t_embedder.mlp.0", "dit/t_embedder/fc1", "linear"
+    yield "t_embedder.mlp.2", "dit/t_embedder/fc2", "linear"
+    for i in range(depth):
+        src, dst = f"blocks.{i}", f"dit/block_{i}"
+        yield f"{src}.adaLN_modulation.1", f"{dst}/adaLN_modulation", "linear"
+        yield f"{src}.attn.qkv", f"{dst}/attn/qkv", "linear"
+        yield f"{src}.attn.proj", f"{dst}/attn/proj", "linear"
+        yield f"{src}.mlp.fc1", f"{dst}/mlp/fc1", "linear"
+        yield f"{src}.mlp.fc2", f"{dst}/mlp/fc2", "linear"
+    yield ("final_layer.adaLN_modulation.1",
+           "dit/final_layer/adaLN_modulation", "linear")
+    yield "final_layer.linear", "dit/final_layer/linear", "linear"
+
+
+# ---------------------------------------------------------------------------
 # CLIP text tower (transformers naming)
 # ---------------------------------------------------------------------------
 

@@ -125,6 +125,21 @@ def test_vae_weight_map_roundtrip(key):
     assert real_missing == [], real_missing
 
 
+def test_raydiff_dit_weight_map_roundtrip(key):
+    from prometheus_tpu.models import CrossViewDiTWrapped
+    from prometheus_tpu.weight_maps import map_raydiff_dit
+
+    dit = CrossViewDiTWrapped(latent_channels=14, dit_channels=32,
+                              hidden_size=64, depth=2, num_heads=4)
+    v = dit.init(key, jnp.zeros((1, 2, 14, 16, 16)))
+    params = jax.tree.map(np.asarray, v["params"])
+    pairs = list(map_raydiff_dit(depth=2))
+    out, mapped, missing, sd = roundtrip(params, pairs)
+    assert mapped > 10
+    assert_trees_equal(out, params)
+    assert missing == [], missing
+
+
 def test_clip_weight_map_roundtrip(key):
     clip = CLIPTextModel(width=64, num_heads=4, num_layers=2, vocab_size=100)
     v = clip.init(key, jnp.zeros((1, 77), jnp.int32))

@@ -110,7 +110,8 @@ def main():
     pipe, _ = build_flagship(small=args.small)
 
     from prometheus_tpu.weight_maps import (apply_weight_map, map_clip_text,
-                                            map_ldm_unet, map_ldm_vae)
+                                            map_ldm_unet, map_ldm_vae,
+                                            map_raydiff_dit)
 
     report = {}
     traj_params = jax.tree.map(np.asarray, pipe.traj_params)
@@ -146,11 +147,11 @@ def main():
     m4, miss4 = apply_weight_map(
         strip(gs_sd, "model.vae."), map_ldm_vae(),
         gs_vars["params"], prefix="vae/")
-    report["decoder"] = {"mapped": m4, "missing": miss4,
-                         "note": "cross_view_dit mapping follows the "
-                                 "raydiff layout; report unmapped below",
-                         "unmapped_dit": sorted(
-                             strip(gs_sd, "model.cross_view_dit.").keys())[:10]}
+    m5, miss5 = apply_weight_map(
+        strip(gs_sd, "model.cross_view_dit."),
+        map_raydiff_dit(pipe.gsdecoder.dit_depth),
+        gs_vars["params"], prefix="cross_view_dit/")
+    report["decoder"] = {"mapped": m4 + m5, "missing": miss4 + miss5}
     pipe.mvldm_params = mv_params
     pipe.gsdecoder_vars = gs_vars
 
