@@ -23,7 +23,11 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--prompt", type=str, default=None)
     p.add_argument("--prompt_file", type=str, default=None)
+    p.add_argument("--ref_image", type=str, default=None,
+                   help="image-to-3D: reference image (CLIP-image cond)")
     p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--use_3d_mode_every_m_steps", type=int, default=-1,
+                   help="render-consistent resampling every m steps (-1 off)")
     p.add_argument("--ckpt", type=str, default=None,
                    help="full.ckpt bundle / orbax dir; random init if absent")
     p.add_argument("--export_dir", type=str, default="./exports")
@@ -130,12 +134,49 @@ def main():
     if args.prompt_file:
         with open(args.prompt_file) as fp:
             prompts.extend(line.strip() for line in fp if line.strip())
-    if not prompts:
-        raise SystemExit("provide --prompt or --prompt_file")
+    if not prompts and not args.ref_image:
+        raise SystemExit("provide --prompt, --prompt_file, or --ref_image")
 
     import jax
 
     pipe = build_pipeline(args)
+
+    if args.ref_image:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from prometheus_tpu.datasets.transforms import (
+            center_crop_and_resize, decode_image, normalize_image)
+        from prometheus_tpu.models import CLIPImageEncoder
+        from prometheus_tpu.models.depth_anything import make_depth_fn
+        from prometheus_tpu.utils import get_random_cameras
+
+        key = jax.random.PRNGKey(args.seed)
+        if pipe.image_encoder is None:
+            enc = CLIPImageEncoder() if not args.small else CLIPImageEncoder(
+                image_size=28, width=64, num_heads=4, num_layers=2,
+                proj_dim=pipe.mvldm.model.context_dim)
+            pipe.image_encoder = enc
+            pipe.image_encoder_params = enc.init(
+                key, jnp.zeros((1, 3, 64, 64)))
+            pipe.depth_fn = make_depth_fn(key)
+        raw = decode_image(open(args.ref_image, "rb").read())
+        img_size = pipe.mvldm.model.image_size
+        img, _ = center_crop_and_resize(raw, img_size)
+        ref = jnp.asarray(normalize_image(img))[None, None]
+        cams = get_random_cameras(key, args.num_views,
+                                  size=args.image_size)[None]
+        result = pipe.generate_image_to_3d(
+            ref, cams, key, num_inference_steps=args.num_steps,
+            guidance_scale=args.guidance_scale,
+            cfg_rescale=args.cfg_rescale, render_size=args.render_size)
+        result["dense_cameras"] = cams
+        out_dir = os.path.join(args.export_dir, "image_to_3d")
+        export_result(result, pipe, f"image:{args.ref_image}", out_dir, args)
+        print(f"[image-to-3d] {args.ref_image} -> {out_dir}")
+        if not prompts:
+            return
+
     for i, prompt in enumerate(prompts):
         key = jax.random.PRNGKey(args.seed + i)
         t0 = time.time()

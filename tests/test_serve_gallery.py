@@ -1,0 +1,77 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prometheus_tpu.utils.visualization import write_html_gallery
+
+
+def test_html_gallery(tmp_path):
+    path = write_html_gallery(
+        str(tmp_path / "g.html"),
+        [{"title": "scene A", "images": ["a.png", "b.png"], "video": "v.mp4"},
+         {"title": "scene B", "images": ["c.png"]}])
+    html = open(path).read()
+    assert "scene A" in html and 'src="v.mp4"' in html and "c.png" in html
+
+
+@pytest.mark.slow
+def test_generate_batch_sharded(tiny_pipeline_srv):
+    from prometheus_tpu.parallel import make_mesh
+    from serve import generate_batch
+
+    pipe = tiny_pipeline_srv
+    mesh = make_mesh()
+    n = mesh.shape["data"]
+    prompts = [f"scene {i}" for i in range(n)]
+    out = generate_batch(pipe, prompts, jax.random.PRNGKey(0), mesh,
+                         num_views=2, num_inference_steps=2,
+                         render_size=32, image_size=32, latent_hw=16)
+    assert out["images_gs_render"].shape[0] == n
+    assert bool(jnp.isfinite(out["images_gs_render"]).all())
+    # batch elements differ (independent noise/trajectories)
+    a = np.asarray(out["latents_pred"][0])
+    b = np.asarray(out["latents_pred"][1])
+    assert np.abs(a - b).max() > 1e-6
+
+
+@pytest.fixture()
+def tiny_pipeline_srv(key):
+    from prometheus_tpu.models import GSDecoderModel, MVLDMModel, TrajDiTModel
+    from prometheus_tpu.ops.schedulers import make_schedule
+    from prometheus_tpu.pipeline import PrometheusPipeline
+    from prometheus_tpu.systems import MVLDMSystem, TrajDiTSystem
+    from prometheus_tpu.utils import get_random_cameras
+
+    mvldm_model = MVLDMModel(
+        model_channels=32, num_head_channels=16, context_dim=64,
+        channel_mult=(1, 2), num_res_blocks=1,
+        disable_3d_attentions=(1, 0, 0, 0, 0), use_checkpoint=False,
+        clip_layers=2, clip_width=64, vae_ch=32, vae_ch_mult=(1, 2),
+        image_size=32)
+    B, N, hw = 1, 2, 16
+    cams = get_random_cameras(key, N, size=32)[None]
+    mvldm_params = mvldm_model.init(
+        key, jnp.zeros((B, N, 3, 32, 32)), jnp.zeros((B, 77), jnp.int32),
+        jnp.zeros((B, N, 9, hw, hw)), jnp.zeros((B, 77, 64)),
+        jnp.zeros((B, N)), cams, method=MVLDMModel.init_everything)
+    gsdec = GSDecoderModel(dit_hidden_size=32, dit_depth=1, dit_num_heads=4,
+                           vae_ch=32, vae_ch_mult=(1, 2), max_num_images=4)
+    gsdec_vars = gsdec.init(key, jnp.zeros((B, 1, 3, 32, 32)),
+                            jnp.zeros((B, N, 14, hw, hw)),
+                            method=GSDecoderModel.init_everything)
+    traj_model = TrajDiTModel(hidden_size=32, num_blocks=1, num_heads=4,
+                              text_dim=64)
+    traj_params = traj_model.init(key, jnp.zeros((1, 29, 11)),
+                                  jnp.zeros((1, 77, 64)), jnp.zeros((1,)))
+    return PrometheusPipeline(
+        mvldm=MVLDMSystem(model=mvldm_model,
+                          schedule=make_schedule("vprediction"),
+                          num_pred_views=2),
+        mvldm_params=mvldm_params,
+        traj=TrajDiTSystem(model=traj_model), traj_params=traj_params,
+        gsdecoder=gsdec, gsdecoder_vars=gsdec_vars,
+        gs_kwargs=dict(z_near=0.1, z_far=10.0),
+    )
