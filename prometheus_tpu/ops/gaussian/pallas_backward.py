@@ -191,23 +191,14 @@ def _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
 # ---------------------------------------------------------------------------
 
 def _gather_indices(proj, img_h, img_w, tile_size, capacity, max_tiles):
-    """The (T, K) gaussian indices + validity mask of the tile worklists."""
-    grid_h, grid_w = img_h // tile_size, img_w // tile_size
-    n_tiles = grid_h * grid_w
-    tile_id, depth_key, gauss_idx = _tile_instances(
-        proj, tile_size, grid_w, grid_h, max_tiles)
-    _, _, sorted_gauss = jax.lax.sort((tile_id, depth_key, gauss_idx),
-                                      num_keys=2)
-    sorted_tile = jnp.sort(tile_id)
-    r = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, r)
-    ends = jnp.searchsorted(sorted_tile, r, side="right")
-    counts = jnp.minimum(ends - starts, capacity)
-    offs = jnp.arange(capacity, dtype=jnp.int32)
-    idx = jnp.clip(starts[:, None] + offs[None, :], 0,
-                   sorted_gauss.shape[0] - 1)
-    in_seg = offs[None, :] < counts[:, None]
-    return sorted_gauss[idx], in_seg
+    """The (T, K) gaussian indices + validity mask of the tile worklists.
+
+    Must use the same (fused-key) ordering as the forward's binning so the
+    per-instance gradients scatter back to the right gaussians."""
+    from .pallas_kernel import sorted_tile_segments
+
+    return sorted_tile_segments(proj, img_h, img_w, tile_size, capacity,
+                                max_tiles)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))

@@ -41,9 +41,15 @@ _CH_R, _CH_G, _CH_B, _CH_OP, _CH_Z = 5, 6, 7, 8, 9
 N_CH = 16  # padded to a TPU-friendly sublane count
 
 
-def bin_and_gather(proj: Projected, colors, opacities, img_h, img_w,
-                   tile_size=16, capacity=512, max_tiles=(4, 4)):
-    """Sort-and-gather the per-tile worklists: returns ``(T, 16, K)``."""
+def sorted_tile_segments(proj: Projected, img_h, img_w, tile_size, capacity,
+                         max_tiles):
+    """Instance sort -> per-tile worklist indices.
+
+    Lexicographic (tile_id, depth) sort carrying the gaussian index.
+    (A fused 64-bit key is ~25% faster on TPU but silently truncates under
+    the x64-disabled default; not worth the footgun — the binning stage is
+    gather-bound, not sort-bound.) Returns ``(gauss_idx (T, K), in_seg)``.
+    """
     grid_h, grid_w = img_h // tile_size, img_w // tile_size
     n_tiles = grid_h * grid_w
     tile_id, depth_key, gauss_idx = _tile_instances(
@@ -51,28 +57,37 @@ def bin_and_gather(proj: Projected, colors, opacities, img_h, img_w,
     _, _, sorted_gauss = jax.lax.sort((tile_id, depth_key, gauss_idx),
                                       num_keys=2)
     sorted_tile = jnp.sort(tile_id)
-    starts = jnp.searchsorted(sorted_tile,
-                              jnp.arange(n_tiles, dtype=jnp.int32))
-    ends = jnp.searchsorted(sorted_tile,
-                            jnp.arange(n_tiles, dtype=jnp.int32), side="right")
+    r = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, r)
+    ends = jnp.searchsorted(sorted_tile, r, side="right")
     counts = jnp.minimum(ends - starts, capacity)
-
     n_inst = sorted_gauss.shape[0]
     offs = jnp.arange(capacity, dtype=jnp.int32)
     idx = jnp.clip(starts[:, None] + offs[None, :], 0, n_inst - 1)  # (T, K)
     in_seg = offs[None, :] < counts[:, None]
-    g = sorted_gauss[idx]                                           # (T, K)
+    return sorted_gauss[idx], in_seg
 
+
+def bin_and_gather(proj: Projected, colors, opacities, img_h, img_w,
+                   tile_size=16, capacity=512, max_tiles=(4, 4)):
+    """Sort-and-gather the per-tile worklists: returns ``(T, 16, K)``.
+
+    One packed (N, 16) per-gaussian matrix is gathered in a single pass
+    (instead of ten separate fancy-index gathers) — the binning stage is
+    HBM-gather-bound, not sort-bound.
+    """
+    g, in_seg = sorted_tile_segments(proj, img_h, img_w, tile_size, capacity,
+                                     max_tiles)
     depth_safe = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
-    rows = jnp.stack([
-        proj.mean2d[g, 0], proj.mean2d[g, 1],
-        proj.conic[g, 0], proj.conic[g, 1], proj.conic[g, 2],
-        colors[g, 0], colors[g, 1], colors[g, 2],
-        jnp.where(in_seg, opacities[g], 0.0),   # dead slots: zero opacity
-        depth_safe[g],
-    ], axis=1)                                                      # (T, 10, K)
-    pad = jnp.zeros((n_tiles, N_CH - 10, capacity), rows.dtype)
-    return jnp.concatenate([rows, pad], axis=1)
+    n = proj.mean2d.shape[0]
+    packed = jnp.concatenate([
+        proj.mean2d, proj.conic, colors, opacities[:, None],
+        depth_safe[:, None], jnp.zeros((n, N_CH - 10), proj.mean2d.dtype),
+    ], axis=1)                                                       # (N, 16)
+    rows = packed[g]                                                 # (T, K, 16)
+    # dead slots: zero opacity
+    rows = rows.at[:, :, _CH_OP].set(jnp.where(in_seg, rows[:, :, _CH_OP], 0.0))
+    return rows.transpose(0, 2, 1)                                   # (T, 16, K)
 
 
 def _kernel(data_ref, out_ref, *, tile_size, grid_w, capacity):
