@@ -61,7 +61,7 @@ def build_pipeline(args):
     from prometheus_tpu.models.clip_text import CLIPTokenizer
 
     pipe, _ = build_flagship(small=args.small)
-    if args.bpe_vocab:
+    if getattr(args, "bpe_vocab", None):  # eval.py reuses this builder
         pipe.tokenizer = CLIPTokenizer(args.bpe_vocab)
     if args.ckpt and os.path.exists(args.ckpt):
         from prometheus_tpu.checkpoint import restore_checkpoint

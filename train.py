@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--param_sharding", type=str, default="replicated",
                    choices=["replicated", "fsdp"])
+    p.add_argument("--depth_teacher", type=str, default="da2",
+                   choices=["da2", "luminance"],
+                   help="pseudo-depth source: DepthAnything-V2 or a cheap "
+                        "luminance proxy (no weights / smoke runs)")
     return p.parse_args()
 
 
@@ -203,17 +207,70 @@ def main():
     log_path = os.path.join(ckpt_dir, "metrics.jsonl")
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    loader_iter = None
     if not args.synthetic:
-        raise SystemExit(
-            "on-disk dataset training wiring requires dataset paths; "
-            "run with --synthetic for pipeline validation")
+        from prometheus_tpu.datasets import DataLoader
+        from prometheus_tpu.datasets.builder import (build_dataset,
+                                                     common_kwargs_from_group)
+        from prometheus_tpu.models.clip_text import CLIPTokenizer
+        from prometheus_tpu.models.depth_anything import make_depth_fn
+
+        ds_cfg = cfg.dataset
+        dataset = build_dataset(dict(ds_cfg.train),
+                                common_kwargs_from_group(dict(ds_cfg)))
+        loader = DataLoader(dataset, batch_size=B,
+                            num_workers=int(tr.get("num_workers", 4)),
+                            seed=int(cfg.get("seed", 0)))
+        tokenizer = CLIPTokenizer(cfg.get("bpe_vocab"))
+        if args.depth_teacher == "da2":
+            depth_fn = make_depth_fn(key,
+                                     weights_path=cfg.get("depth_weights"))
+        else:  # luminance proxy: shape-correct, trivially cheap
+            def depth_fn(images):
+                lum = images.mean(axis=2, keepdims=True) * 0.5 + 0.5
+                return jnp.clip(lum, 0.0, 1.0)
+        uncond_ids = jnp.asarray(tokenizer([""]))
+
+        def host_batch_to_device(raw):
+            """images/cameras/text -> the loss's batch dict (pseudo-depth
+            teacher + CLIP text embeddings computed on device)."""
+            images = jnp.asarray(raw["images_mv"])
+            ids = jnp.asarray(tokenizer(raw["text_mv"]))
+            if args.stage == "mvldm":
+                from prometheus_tpu.models import MVLDMModel as _M
+
+                # state.params for this stage is the full variables dict
+                text_emb = mv_model.apply(state.params, ids,
+                                          method=_M.encode_text)
+                uncond = mv_model.apply(
+                    state.params, jnp.broadcast_to(uncond_ids, ids.shape),
+                    method=_M.encode_text)
+            else:
+                text_emb = uncond = None
+            out = {
+                "images_mv": images,
+                "cameras_mv": jnp.asarray(raw["cameras_mv"]),
+                "depths_mv": depth_fn(images),
+            }
+            if text_emb is not None:
+                out["text_emb"] = text_emb
+                out["uncond_text_emb"] = uncond
+            return out
+
+        def gen():
+            while True:
+                for raw in loader:
+                    yield host_batch_to_device(raw)
+
+        loader_iter = gen()
 
     t_start = time.time()
     for step in range(int(state.step), max_steps):
         key, k_batch, k_step = jax.random.split(key, 3)
-        batch = synthetic_mv_batch(k_batch, B, N, img, ctx)
-        if args.stage == "mvldm":
-            pass
+        if loader_iter is not None:
+            batch = next(loader_iter)
+        else:
+            batch = synthetic_mv_batch(k_batch, B, N, img, ctx)
         batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, k_step)
         if step % args.log_every == 0 and is_main_process():
