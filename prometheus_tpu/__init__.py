@@ -22,3 +22,15 @@ component with file:line citations).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy top-level API (keeps bare import light)
+    if name == "PrometheusPipeline":
+        from .pipeline import PrometheusPipeline
+
+        return PrometheusPipeline
+    if name == "load_config":
+        from .config import load_config
+
+        return load_config
+    raise AttributeError(name)
