@@ -14,13 +14,16 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "prometheus_io.cpp")
-_LIB = os.path.join(_DIR, "libprometheus_io.so")
+# build into a non-package subdir so pkgutil does not mistake the ctypes
+# library for a CPython extension module
+_LIB = os.path.join(_DIR, "_build", "libprometheus_io.so")
 
 _lib = None
 
 
 def _build() -> bool:
     try:
+        os.makedirs(os.path.dirname(_LIB), exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
             check=True, capture_output=True, timeout=120)
