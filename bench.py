@@ -32,6 +32,18 @@ def _log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
 
+def sync(tree):
+    """Force completion by fetching one element to the host.
+
+    ``jax.block_until_ready`` does NOT block on the tunneled axon backend
+    (verified: a 1.1-TFLOP matmul "completed" in 0.04 ms under it, vs 8.8 ms
+    with a device_get sync) — every timing below must end with a real
+    device->host fetch of a value that depends on the measured computation.
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    jax.device_get(leaf.ravel()[0:1])
+
+
 def build_flagship(small: bool = False):
     from prometheus_tpu.models import GSDecoderModel, MVLDMModel, TrajDiTModel
     from prometheus_tpu.ops.schedulers import make_schedule
@@ -107,13 +119,101 @@ def run_once(pipe, key, *, steps, render_size, image_size):
         guidance_scale=7.5, guidance_type="joint", cfg_rescale=0.7,
         render_size=render_size, image_size=image_size,
     )
-    jax.block_until_ready(result["images_gs_render"])
+    sync(result["images_gs_render"])
+    sync(result["images_pred"])
     return result
+
+
+def bench_train_step(pipe, *, batch_size=1, num_views=8):
+    """Flagship stage-2 training-step throughput + estimated MFU.
+
+    One jitted step: latent v-pred MSE, bf16, remat U-Net, AdamW on the
+    U-Net only (VAE/CLIP frozen, reference mv_ldm.py:52-64), EMA update.
+    """
+    import optax
+
+    from prometheus_tpu.models import MVLDMModel
+    from prometheus_tpu.parallel import (init_train_state, make_optimizer,
+                                         make_train_step)
+    from prometheus_tpu.systems import MVLDMSystem
+    from prometheus_tpu.utils import get_random_cameras
+
+    mv_model = pipe.mvldm.model.clone(use_checkpoint=True)
+    system = MVLDMSystem(model=mv_model, schedule=pipe.mvldm.schedule,
+                         num_pred_views=num_views)
+    params = pipe.mvldm_params
+    img = mv_model.image_size
+
+    def _label(path, _):
+        names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+        return "frozen" if any(n in ("vae", "text_encoder") for n in names) \
+            else "train"
+
+    labels = jax.tree_util.tree_map_with_path(_label, params)
+    tx = optax.multi_transform(
+        {"train": make_optimizer(learning_rate=1e-5),
+         "frozen": optax.set_to_zero()}, labels)
+    state = init_train_state(params, {}, tx)
+
+    def loss_fn(p, ms, batch, k):
+        loss, metrics = system.multi_view_loss(p, k, batch)
+        return loss, (metrics, ms)
+
+    step_fn = make_train_step(loss_fn, tx, donate=False)
+
+    key = jax.random.PRNGKey(3)
+    cams = jnp.tile(get_random_cameras(key, num_views, size=img)[None],
+                    (batch_size, 1, 1))
+    batch = {
+        "images_mv": jax.random.uniform(
+            key, (batch_size, num_views, 3, img, img), jnp.bfloat16, -1, 1),
+        "cameras_mv": cams,
+        "depths_mv": jax.random.uniform(
+            key, (batch_size, num_views, 1, img, img), jnp.bfloat16, 0.05, 1),
+        "text_emb": (jax.random.normal(
+            key, (batch_size, 77, mv_model.context_dim), jnp.bfloat16) * 0.02),
+        "uncond_text_emb": jnp.zeros(
+            (batch_size, 77, mv_model.context_dim), jnp.bfloat16),
+    }
+
+    flops = None
+    try:
+        cost = step_fn.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:
+        _log(f"bench: cost_analysis unavailable ({e})")
+
+    state, metrics = step_fn(state, batch, key)   # compile + 1st step
+    sync(metrics["loss"])
+    n_it = 4
+    t0 = time.time()
+    for _ in range(n_it):
+        state, metrics = step_fn(state, batch, key)
+    sync(metrics["loss"])
+    dt = (time.time() - t0) / n_it
+
+    dev = jax.devices()[0]
+    peak = 197e12 if "v5 lite" in getattr(dev, "device_kind", "") else None
+    out = {
+        "train_step_s": round(dt, 4),
+        "train_examples_per_s": round(batch_size / dt, 3),
+        "train_batch": [batch_size, num_views, img],
+    }
+    if flops:
+        out["train_step_tflops"] = round(flops / 1e12, 2)
+        if peak:
+            out["train_mfu"] = round(flops / dt / peak, 4)
+    return out
 
 
 def main():
     small = os.environ.get("BENCH_SMALL", "0") == "1"
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    # 100 denoise steps = the reference inference config
+    # (/root/reference/inference.py:44-59); override with BENCH_STEPS
+    steps = int(os.environ.get("BENCH_STEPS", "100"))
+    bench_train = os.environ.get("BENCH_TRAIN", "1") == "1" and not small
     render_size = 128 if small else 512
     platform = jax.devices()[0].platform
 
@@ -144,15 +244,60 @@ def main():
     cams = result["cameras"]
     gaussians = result["gaussians"]
     backend = pipe._backend()
-    jax.block_until_ready(render_gaussians(
+    sync(render_gaussians(
         cams, gaussians, h=render_size, w=render_size, backend=backend))
     n_frames = cams.shape[1] * 4
     t0 = time.time()
     for _ in range(4):
         out = render_gaussians(cams, gaussians, h=render_size, w=render_size,
                                backend=backend)
-    jax.block_until_ready(out)
+    sync(out)
     render_fps = n_frames / (time.time() - t0)
+
+    # tile-cap truncation diagnostics at production density (VERDICT weak #5)
+    overflow = {}
+    try:
+        from functools import partial
+
+        from prometheus_tpu.ops.gaussian.projection import project_gaussians
+        from prometheus_tpu.ops.gaussian.tiled import tile_overflow_stats
+        from prometheus_tpu.utils.cameras import (camera_c2w,
+                                                  camera_intrinsics,
+                                                  opengl_to_opencv)
+
+        cam0 = cams[0, 0]
+        c2w34 = opengl_to_opencv(camera_c2w(cam0)[:3, :4])
+        w2c = jnp.linalg.inv(jnp.concatenate(
+            [c2w34, jnp.asarray([[0.0, 0.0, 0.0, 1.0]])], 0))
+        fx, fy, cx, cy, _, _ = camera_intrinsics(cam0, h=render_size,
+                                                 w=render_size)
+        proj = jax.jit(partial(project_gaussians, img_h=render_size,
+                               img_w=render_size))(
+            gaussians[0][0], gaussians[3][0], gaussians[4][0], w2c,
+            fx, fy, cx, cy)
+        stats = tile_overflow_stats(proj, 16, render_size // 16,
+                                    render_size // 16, (4, 4))
+        overflow = {k: int(v) for k, v in stats.items()}
+    except Exception as e:
+        _log(f"bench: overflow stats failed ({e})")
+
+    extra = {
+        "platform": platform, "steps": steps,
+        "render_size": render_size, "init_s": round(init_s, 1),
+        "compile_s": round(compile_s, 1),
+        "all_times": [round(t, 3) for t in times],
+        "render_fps": round(render_fps, 1),
+        "num_gaussians": int(result["gaussians"][0].shape[1]),
+        "scenes_per_min_per_chip": round(60.0 / best, 2),
+        "tile_overflow": overflow,
+    }
+
+    if bench_train:
+        _log("bench: training-step benchmark (compile)...")
+        try:
+            extra.update(bench_train_step(pipe))
+        except Exception as e:
+            _log(f"bench: train-step bench failed ({e})")
 
     metric = "text_to_3dgs_seconds_e2e" + ("_small" if small else "")
     print(json.dumps({
@@ -160,14 +305,7 @@ def main():
         "value": round(best, 3),
         "unit": "s",
         "vs_baseline": round(5.0 / best, 3),
-        "extra": {
-            "platform": platform, "steps": steps,
-            "render_size": render_size, "init_s": round(init_s, 1),
-            "compile_s": round(compile_s, 1),
-            "all_times": [round(t, 3) for t in times],
-            "render_fps": round(render_fps, 1),
-            "num_gaussians": int(result["gaussians"][0].shape[1]),
-        },
+        "extra": extra,
     }))
 
 

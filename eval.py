@@ -33,15 +33,42 @@ def parse_args():
     p.add_argument("--small", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_prompts", type=int, default=-1)
+    p.add_argument("--traj_idx", type=int, default=0,
+                   help="candidate index for (C, N, 18) trajectory files")
     p.add_argument("--compute_metrics", action="store_true", default=True)
+    p.add_argument("--refine", type=str, default=None,
+                   choices=["sds", "mv_sds"],
+                   help="SDS++ refinement before export (reference "
+                        "inference.py:52)")
+    p.add_argument("--refine_iters", type=int, default=300)
+    p.add_argument("--use_3d_mode_every_m_steps", type=int, default=-1)
     return p.parse_args()
 
 
-def load_benchmark(bench_dir: str):
-    """Returns [(prompt, cameras_or_None)]; cameras (1, N, 18)."""
+def load_benchmark(bench_dir: str, traj_idx: int = 0):
+    """Returns [(prompt, cameras_or_None)]; cameras (1, N, 18).
+
+    Preferred layout: ``index.json`` + ``camera/<i>.npy`` as produced by
+    ``tools/import_benchmarks.py`` (the reference's scene_benchmark80 /
+    gpt4v_gallery / t3bench sets). Multi-candidate trajectory files
+    ``(C, N, 18)`` follow the reference's per-candidate loop
+    (``eval.py:123-124``); ``traj_idx`` picks the candidate.
+    Fallback: a bare ``prompts.txt`` (+ optional ``camera/<i>.pkl|npy``).
+    """
+    index_path = os.path.join(bench_dir, "index.json")
+    entries = []
+    if os.path.exists(index_path):
+        with open(index_path) as fp:
+            index = json.load(fp)
+        for e in index:
+            cams = np.load(os.path.join(bench_dir, e["camera"])).astype(
+                np.float32)
+            if cams.ndim == 3:  # (C, N, 18) candidates
+                cams = cams[min(traj_idx, cams.shape[0] - 1)]
+            entries.append((e["text"], cams[None]))
+        return entries
     with open(os.path.join(bench_dir, "prompts.txt")) as fp:
         prompts = [line.strip() for line in fp if line.strip()]
-    entries = []
     cam_dir = os.path.join(bench_dir, "camera")
     for i, prompt in enumerate(prompts):
         cams = None
@@ -65,9 +92,15 @@ def main():
     from prometheus_tpu.utils.image import make_grid, postprocess_image, save_image
 
     pipe = build_pipeline(args)
-    entries = load_benchmark(args.benchmark_dir)
+    entries = load_benchmark(args.benchmark_dir, traj_idx=args.traj_idx)
     if args.max_prompts > 0:
         entries = entries[: args.max_prompts]
+
+    refiner = None
+    if args.refine:
+        refiner = pipe.build_refiner(
+            args.refine, total_iterations=args.refine_iters,
+            img_size=min(args.render_size, 256))
 
     all_metrics = []
     for i, (prompt, cams) in enumerate(entries):
@@ -77,6 +110,8 @@ def main():
             guidance_scale=args.guidance_scale,
             guidance_type=args.guidance_type, cfg_rescale=args.cfg_rescale,
             render_size=args.render_size, image_size=args.image_size,
+            refiner=refiner,
+            use_3d_mode_every_m_steps=args.use_3d_mode_every_m_steps,
         )
         if cams is not None:
             import jax.numpy as jnp
@@ -98,17 +133,21 @@ def main():
             from prometheus_tpu.metrics import brisque, niqe
 
             imgs = frames.astype(np.float32) / 255.0
-            entry["brisque"] = float(np.mean([brisque(f) for f in imgs]))
-            entry["niqe"] = float(np.mean([niqe(f) for f in imgs]))
+            # '_proxy' suffix: these are documented NSS proxies, NOT the
+            # official BRISQUE/NIQE models (see prometheus_tpu/metrics.py) —
+            # not comparable to published numbers without the official assets
+            entry["brisque_proxy"] = float(np.mean([brisque(f) for f in imgs]))
+            entry["niqe_proxy"] = float(np.mean([niqe(f) for f in imgs]))
         all_metrics.append(entry)
         print(f"[{i+1}/{len(entries)}] {prompt[:60]} -> {out_dir}")
 
     summary = {
         "num_prompts": len(all_metrics),
-        "brisque_mean": float(np.mean([m.get("brisque", np.nan)
-                                       for m in all_metrics])),
-        "niqe_mean": float(np.mean([m.get("niqe", np.nan)
-                                    for m in all_metrics])),
+        "metrics_are_proxies": bool(args.compute_metrics),
+        "brisque_proxy_mean": float(np.mean([m.get("brisque_proxy", np.nan)
+                                             for m in all_metrics])),
+        "niqe_proxy_mean": float(np.mean([m.get("niqe_proxy", np.nan)
+                                          for m in all_metrics])),
         "per_prompt": all_metrics,
     }
     with open(os.path.join(args.export_dir, "metrics.json"), "w") as fp:

@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--negative_prompt", type=str, default="")
     p.add_argument("--use_3d_mode_every_m_steps", type=int, default=-1,
                    help="render-consistent resampling every m steps (-1 off)")
+    p.add_argument("--refine", type=str, default=None,
+                   choices=["sds", "mv_sds"],
+                   help="test-time SDS++ refinement of the gaussians "
+                        "(reference inference.py:52)")
+    p.add_argument("--refine_iters", type=int, default=300)
     p.add_argument("--ckpt", type=str, default=None,
                    help="full.ckpt bundle / orbax dir; random init if absent")
     p.add_argument("--export_dir", type=str, default="./exports")
@@ -46,7 +51,9 @@ def parse_args():
     p.add_argument("--small", action="store_true",
                    help="reduced model (smoke tests / CI)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--use_ema", action="store_true", default=True)
+    # EMA promotion happens at bundle time (tools/create_final_ckpt.py), so
+    # inference has no separate EMA/plain switch (reference --use_ema is also
+    # consumed by its finalckpt bundler, not the sampler).
     p.add_argument("--bpe_vocab", type=str, default=None,
                    help="CLIP BPE merges file (exact tokenization)")
     return p.parse_args()
@@ -98,6 +105,13 @@ def export_result(result, pipe, prompt: str, out_dir: str, args) -> dict:
     grid = make_grid(imgs)
     paths["renders"] = os.path.join(out_dir, "gs_renders.png")
     save_image(grid, paths["renders"])
+
+    if "images_sds_gs_render" in result:
+        imgs_sds = postprocess_image(
+            np.asarray(result["images_sds_gs_render"][0]))
+        paths["renders_refined"] = os.path.join(out_dir,
+                                                "gs_renders_refined.png")
+        save_image(make_grid(imgs_sds), paths["renders_refined"])
 
     imgs2d = postprocess_image(np.asarray(result["images_pred"][0]))
     paths["images_2d"] = os.path.join(out_dir, "mv_images.png")
@@ -177,6 +191,12 @@ def main():
         if not prompts:
             return
 
+    refiner = None
+    if args.refine:
+        refiner = pipe.build_refiner(
+            args.refine, total_iterations=args.refine_iters,
+            img_size=min(args.render_size, 256))
+
     for i, prompt in enumerate(prompts):
         key = jax.random.PRNGKey(args.seed + i)
         t0 = time.time()
@@ -190,6 +210,8 @@ def main():
             cfg_rescale=args.cfg_rescale,
             render_size=args.render_size,
             image_size=args.image_size,
+            use_3d_mode_every_m_steps=args.use_3d_mode_every_m_steps,
+            refiner=refiner,
         )
         jax.block_until_ready(result["images_gs_render"])
         dt = time.time() - t0

@@ -171,8 +171,10 @@ def pad_conv_out_channels(kernel: np.ndarray, bias: np.ndarray,
     extra = rng.normal(0.0, std, size=(kh, kw, i, target_out - o)).astype(
         kernel.dtype)
     k = np.concatenate([kernel, extra], axis=3)
+    # reference pads the bias with zeros for ALL new channels (mv_ldm.py:118:
+    # F.pad(bias, (0, extra))) — the depth rows get the RGB *weights* copied
+    # but keep a zero bias
     b = np.concatenate([bias, np.zeros(target_out - o, bias.dtype)])
     if copy_rgb_to_depth and target_out >= 8 and o >= 4:
         k[:, :, :, 4:8] = kernel[:, :, :, 0:4]
-        b[4:8] = bias[0:4]
     return k, b

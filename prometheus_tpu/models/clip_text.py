@@ -91,6 +91,19 @@ class CLIPTokenizer:
             self.encoder = {tok: i for i, tok in enumerate(vocab)}
             self.bpe_ranks = {m: i for i, m in enumerate(merges)}
             self._cache = {}
+        elif bpe_path:
+            raise FileNotFoundError(
+                f"BPE merges file not found: {bpe_path} — refusing to fall "
+                "back silently; omit bpe_path to opt into the hash fallback")
+        else:
+            import warnings
+
+            warnings.warn(
+                "CLIPTokenizer constructed WITHOUT a merges file: using the "
+                "deterministic hash fallback (wrong token ids, right shapes)."
+                " Converted real text-encoder weights need the exact BPE — "
+                "pass bpe_path (bpe_simple_vocab_16e6.txt[.gz]).",
+                stacklevel=2)
 
     @property
     def is_exact(self) -> bool:
@@ -166,8 +179,9 @@ class CLIPMLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(4 * x.shape[-1], dtype=self.dtype, name="fc1")(x)
-        # CLIP uses quick_gelu (x * sigmoid(1.702 x))
-        h = h * jax.nn.sigmoid(1.702 * h)
+        # SD-2.1's OpenCLIP ViT-H text tower uses hidden_act='gelu' (exact
+        # erf form), unlike original OpenAI CLIP's quick_gelu
+        h = jax.nn.gelu(h, approximate=False)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(h)
 
 

@@ -82,12 +82,15 @@ class MultiHeadCrossAttention(nn.Module):
 
 class Mlp(nn.Module):
     hidden: int
+    # tanh-approx matches ray_diff.py:396 GELU(approximate='tanh'); the
+    # TrajDiT blocks use the exact erf form (reference dit.py:186 nn.GELU())
+    gelu_approximate: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        h = jax.nn.gelu(h, approximate=True)
+        h = jax.nn.gelu(h, approximate=self.gelu_approximate)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="fc2")(h)
 
 

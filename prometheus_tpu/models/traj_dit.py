@@ -92,6 +92,8 @@ class TrajDiTBlock(nn.Module):
         x = x + g_sa[:, None] * MultiHeadSelfAttention(
             self.num_heads, dtype=self.dtype, name="sattn")(
             mod_fn(norm(x, "norm2"), sh_sa, sc_sa))
+        # traj_dit_system.py:107 uses GELU(approximate='tanh') (the default
+        # gelu_approximate=True), unlike dit.py:186's exact nn.GELU()
         x = x + g_m[:, None] * Mlp(int(hidden * self.mlp_ratio),
                                    dtype=self.dtype, name="mlp")(
             mod_fn(norm(x, "norm3"), sh_m, sc_m))

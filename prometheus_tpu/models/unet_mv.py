@@ -101,7 +101,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(2 * self.dim_out, dtype=self.dtype, name="proj")(x)
         a, gate = jnp.split(h, 2, axis=-1)
-        return a * jax.nn.gelu(gate)
+        # torch F.gelu default is the exact (erf) form (unet_hacked.py:354)
+        return a * jax.nn.gelu(gate, approximate=False)
 
 
 class BasicTransformerBlock3D(nn.Module):

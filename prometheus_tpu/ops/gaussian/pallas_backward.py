@@ -46,11 +46,11 @@ from .pallas_kernel import (
     _CH_OP,
     _CH_R,
     _CH_Z,
-    bin_and_gather,
-    composite_tiled_pallas,
+    gather_rows,
+    run_compositor_kernel,
+    sorted_tile_segments,
 )
 from .projection import Projected
-from .tiled import _tile_instances
 
 
 def _bwd_kernel(data_ref, gout_ref, gdata_ref, *,
@@ -190,51 +190,43 @@ def _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
 # custom-VJP compositor
 # ---------------------------------------------------------------------------
 
-def _gather_indices(proj, img_h, img_w, tile_size, capacity, max_tiles):
-    """The (T, K) gaussian indices + validity mask of the tile worklists.
-
-    Must use the same (fused-key) ordering as the forward's binning so the
-    per-instance gradients scatter back to the right gaussians."""
-    from .pallas_kernel import sorted_tile_segments
-
-    return sorted_tile_segments(proj, img_h, img_w, tile_size, capacity,
-                                max_tiles)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def composite_pallas_diff(mean2d, conic, depth, radius, validf, colors,
                           opacities, img_h, img_w, tile_size, capacity,
-                          interpret):
+                          max_tiles, interpret):
     """Differentiable Pallas compositor over pre-projected gaussians.
 
     ``radius``/``validf`` (float 0/1 mask) only gate binning; their
     gradients are zero. Returns (rgb, expected_depth, alpha)."""
-    proj = Projected(mean2d, conic, depth, radius, validf > 0.5)
-    return composite_tiled_pallas(
-        proj, colors, opacities, img_h, img_w, tile_size=tile_size,
-        capacity=capacity, interpret=interpret)
+    out, _ = _fwd(mean2d, conic, depth, radius, validf, colors, opacities,
+                  img_h, img_w, tile_size, capacity, max_tiles, interpret)
+    return out
 
 
 def _fwd(mean2d, conic, depth, radius, validf, colors, opacities, img_h,
-         img_w, tile_size, capacity, interpret):
-    out = composite_pallas_diff(mean2d, conic, depth, radius, validf, colors,
-                                opacities, img_h, img_w, tile_size, capacity,
-                                interpret)
-    return out, (mean2d, conic, depth, radius, validf, colors, opacities)
-
-
-def _bwd(img_h, img_w, tile_size, capacity, interpret, res, gouts):
-    mean2d, conic, depth, radius, validf, colors, opacities = res
+         img_w, tile_size, capacity, max_tiles, interpret):
+    """Bin ONCE; save the binned worklists + segment indices + forward
+    outputs as residuals so the backward never re-sorts or re-gathers
+    (the binning sort dominates the stage at production density)."""
     proj = Projected(mean2d, conic, depth, radius, validf > 0.5)
+    idx, in_seg = sorted_tile_segments(proj, img_h, img_w, tile_size,
+                                       capacity, max_tiles)
+    data = gather_rows(proj, colors, opacities, idx, in_seg)
+    rgb, dep, acc_a = run_compositor_kernel(data, img_h, img_w, tile_size,
+                                            capacity, interpret)
+    # mean2d rides along only as the (static) gaussian-count shape carrier
+    return (rgb, dep, acc_a), (data, idx, in_seg, dep, acc_a, mean2d)
+
+
+def _bwd(img_h, img_w, tile_size, capacity, max_tiles, interpret, res, gouts):
+    data, idx, in_seg, dep, acc_a, mean2d = res
+    n = mean2d.shape[0]
     g_rgb, g_dep, g_alpha = gouts
     grid_h, grid_w = img_h // tile_size, img_w // tile_size
     p = tile_size * tile_size
 
     # Chain the expected-depth division (ED = acc_d / max(alpha, eps)) and
     # re-pack upstream grads into the kernel's (T, 8, P) layout.
-    _, dep, acc_a = composite_tiled_pallas(
-        proj, colors, opacities, img_h, img_w, tile_size=tile_size,
-        capacity=capacity, interpret=interpret)
     safe_a = jnp.maximum(acc_a, 1e-10)
     g_acc_d = g_dep / safe_a
     g_a_total = g_alpha - g_dep * dep / safe_a
@@ -251,14 +243,9 @@ def _bwd(img_h, img_w, tile_size, capacity, interpret, res, gouts):
         jnp.zeros((grid_h * grid_w, 3, p), jnp.float32),
     ], axis=1)
 
-    data = bin_and_gather(proj, colors, opacities, img_h, img_w,
-                          tile_size, capacity)
     gdata = _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
                              interpret=interpret)
 
-    idx, in_seg = _gather_indices(proj, img_h, img_w, tile_size, capacity,
-                                  (4, 4))
-    n = mean2d.shape[0]
     flat_idx = idx.reshape(-1)
     mask = in_seg.reshape(-1)[:, None]
 
@@ -273,8 +260,8 @@ def _bwd(img_h, img_w, tile_size, capacity, interpret, res, gouts):
     d_colors = seg(5, 8)
     d_op = seg(8, 9)[:, 0]
     d_depth = seg(9, 10)[:, 0]
-    return (d_mean2d, d_conic, d_depth, jnp.zeros_like(radius),
-            jnp.zeros_like(validf), d_colors, d_op)
+    zeros_n = jnp.zeros((n,), jnp.float32)
+    return (d_mean2d, d_conic, d_depth, zeros_n, zeros_n, d_colors, d_op)
 
 
 composite_pallas_diff.defvjp(_fwd, _bwd)
@@ -283,9 +270,10 @@ composite_pallas_diff.defvjp(_fwd, _bwd)
 def composite_tiled_pallas_grad(proj: Projected, colors, opacities,
                                 img_h, img_w, tile_size: int = 16,
                                 capacity: int = 512,
+                                max_tiles: tuple = (4, 4),
                                 interpret: bool = False):
     """Differentiable entry point matching ``composite_tiled``'s signature."""
     return composite_pallas_diff(
         proj.mean2d, proj.conic, proj.depth, proj.radius,
         proj.valid.astype(jnp.float32), colors, opacities,
-        img_h, img_w, tile_size, capacity, interpret)
+        img_h, img_w, tile_size, capacity, max_tiles, interpret)

@@ -43,7 +43,7 @@ def _render_one_view(
 
         rgb, depth, alpha = composite_tiled_pallas_grad(
             proj, colors, opacity, h, w, tile_size=tile_size,
-            capacity=tile_capacity,
+            capacity=tile_capacity, max_tiles=max_tiles,
         )
     else:
         rgb, depth, alpha = composite_tiled(

@@ -74,9 +74,13 @@ class PrometheusPipeline:
 
     @staticmethod
     def sparse_views(dense_cameras: jax.Array, num_views: int = 8) -> jax.Array:
-        """Stride-subsample the dense trajectory (inference.py:145)."""
+        """Stride-subsample the dense trajectory so the sparse views span it
+        end to end (reference inference.py:145: stride = (n-1)//(v-1), i.e.
+        29 cameras / 8 views -> indices 0,4,...,28)."""
         n = dense_cameras.shape[1]
-        stride = max(n // num_views, 1)
+        if num_views <= 1:
+            return dense_cameras[:, :1]
+        stride = max((n - 1) // (num_views - 1), 1)
         return dense_cameras[:, ::stride][:, :num_views]
 
     def decode_gaussians(self, latents: jax.Array, cameras: jax.Array):
@@ -102,6 +106,7 @@ class PrometheusPipeline:
         cameras: jax.Array | None = None,
         latent_hw: int | None = None,
         refiner=None,
+        use_3d_mode_every_m_steps: int = -1,
     ) -> dict:
         """Full text -> 3DGS scene generation. Returns a result dict with
         images/depths (2D decode), gaussians, and GS renders."""
@@ -123,12 +128,32 @@ class PrometheusPipeline:
             dense = cameras
 
         hw = latent_hw or self.mvldm.model.latent_size
-        latents = self.mvldm.sample(
-            self.mvldm_params, k_mv, cameras, text_emb, uncond_emb,
-            num_inference_steps=num_inference_steps,
-            guidance_scale=guidance_scale, guidance_type=guidance_type,
-            cfg_rescale=cfg_rescale, latent_hw=hw,
-        )
+        if use_3d_mode_every_m_steps > 0:
+            # render-consistent resampling every m steps (reference
+            # mv_ldm_system.py:798-815); needs the stage-1 decoder in the loop
+            from types import SimpleNamespace
+
+            gs_shim = SimpleNamespace(model=self.gsdecoder,
+                                      gs_kwargs=self.gs_kwargs)
+            # the 3D-mode render is re-encoded by the VAE, so its size must
+            # map back onto the sampling latent grid (hw * vae stride)
+            vae_stride = (self.mvldm.model.image_size
+                          // self.mvldm.model.latent_size)
+            latents = self.mvldm.sample_with_3d_mode(
+                self.mvldm_params, gs_shim, self.gsdecoder_vars, k_mv,
+                cameras, text_emb, uncond_emb,
+                num_inference_steps=num_inference_steps,
+                use_3d_mode_every_m_steps=use_3d_mode_every_m_steps,
+                guidance_scale=guidance_scale, guidance_type=guidance_type,
+                cfg_rescale=cfg_rescale, latent_hw=hw,
+                render_size=hw * vae_stride)
+        else:
+            latents = self.mvldm.sample(
+                self.mvldm_params, k_mv, cameras, text_emb, uncond_emb,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, guidance_type=guidance_type,
+                cfg_rescale=cfg_rescale, latent_hw=hw,
+            )
         images_pred, depths_pred = self.mvldm.decode_images_and_depths(
             self.mvldm_params, latents)
 
@@ -157,6 +182,66 @@ class PrometheusPipeline:
                           images_sds_gs_render=img_sds,
                           depths_sds_gs_render=dep_sds)
         return result
+
+    # ---------------------------------------------------------------------
+    def build_refiner(self, kind: str = "mv_sds", **overrides):
+        """Construct a test-time SDS++ refiner wired to this pipeline's towers
+        (reference ``inference.py:52`` + ``models/mv_sdspp_refiner.py``).
+
+        ``kind='mv_sds'``: guidance is the trained MV-LDM itself (joint
+        multi-view RGB-D SDS). ``kind='sds'``: single-view SDS++ where the 2D
+        guidance is the MV-LDM run as a 1-view model with zeroed depth-latent
+        and raymap conditioning (this framework ships no separate SD-2.1
+        tower; the reference uses the stock SD pipeline at
+        ``sds_pp_refiner.py:126``).
+        """
+        from .refiners import GSRefinerSDSPlusPlus, MultiviewSDSPPRefiner
+
+        model, params, system = self.mvldm.model, self.mvldm_params, self.mvldm
+
+        def encode_fn(images):  # (V, 3, H, W) -> (V, 4, h, w)
+            return model.apply(params, images[None],
+                               method=MVLDMModel.encode_image)[0]
+
+        def decode_fn(latents):  # (V, 4, h, w) -> (V, 3, H, W)
+            return model.apply(params, latents[None],
+                               method=MVLDMModel.decode_latent)[0]
+
+        if kind == "mv_sds":
+            kw = dict(encode_fn=encode_fn, decode_fn=decode_fn,
+                      denoise_fn=None, mvldm_system=system,
+                      mvldm_params=params)
+            kw.update(overrides)
+            return MultiviewSDSPPRefiner(**kw)
+        if kind != "sds":
+            raise ValueError(f"unknown refiner kind: {kind}")
+
+        sched = system.schedule
+        # U-Net io channels = latent + extra (mv_ldm.py setup); the pad covers
+        # the depth-latent + raymap(+mask) conditioning slots
+        n_cond = model.extra_latent_channel
+
+        def denoise_fn(lat_noisy_vp, t, emb):
+            """VP-noisy (B,4,h,w) + integer t -> eps prediction (B,4,h,w)."""
+            ab = refiner.schedule.alphas_cumprod[t][:, None, None, None]
+            sigma = jnp.sqrt((1.0 - ab) / ab)           # VE sigma of this t
+            x_ve = lat_noisy_vp / sched.c_in(sigma)     # undo VP scaling
+            B = lat_noisy_vp.shape[0]
+            pad = jnp.zeros((B, n_cond) + lat_noisy_vp.shape[2:],
+                            lat_noisy_vp.dtype)
+            net_in = jnp.concatenate([lat_noisy_vp, pad], axis=1)[:, None]
+            tc = jnp.broadcast_to(system._t_cond(sigma[:, 0, 0, 0])[:, None],
+                                  (B, 1))
+            out = model.apply(params, net_in, emb, tc,
+                              method=MVLDMModel.denoise)[:, 0, :4]
+            x0 = sched.c_skip(sigma) * x_ve + sched.c_out(sigma) * out
+            return (x_ve - x0) / jnp.maximum(sigma, 1e-8)
+
+        kw = dict(encode_fn=encode_fn, decode_fn=decode_fn,
+                  denoise_fn=denoise_fn)
+        kw.update(overrides)
+        refiner = GSRefinerSDSPlusPlus(**kw)
+        return refiner
 
     # ---------------------------------------------------------------------
     def generate_image_to_3d(

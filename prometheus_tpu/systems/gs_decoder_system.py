@@ -84,12 +84,12 @@ class GSDecoderSystem:
             variables, None, images[:, :n_in], depths[:, :n_in],
             cameras[:, :n_in], key, train=True)
 
-        # render the novel views
-        cams_nv = cameras[:, n_in:]
+        # render and supervise input + novel views (the reference renders the
+        # input views too, gs_decoder_system.py:203-207)
         imgs_nv, deps_nv, masks_nv = render_gaussians(
-            cams_nv, gaussians, h=rs, w=rs, bg_color=self.render_bg_color)
-        gt_nv = images[:, n_in:]
-        gt_disp_nv = depths[:, n_in:]
+            cameras, gaussians, h=rs, w=rs, bg_color=self.render_bg_color)
+        gt_nv = images
+        gt_disp_nv = depths
 
         # NOTE: zero-lambda terms are skipped entirely — in JAX, 0 * NaN-grad
         # is still NaN, so multiplying by a zero weight does not protect you.

@@ -38,7 +38,12 @@ class MVLDMSystem:
     latent_channel: int = 4
     noise_type: str = "view_cond"      # adds the view-mask channel
     num_pred_views: int = 8            # sigma adjustment base (ajust_sigma_on_N)
-    adjust_sigma_on_n: bool = True
+    # reference hardcodes ajust_sigma_on_N = False (mv_ldm_system.py:28)
+    adjust_sigma_on_n: bool = False
+    # network noise-conditioning regime (reference base_system.py:177,253-256):
+    # 'continuous' -> t_cond = 0.25*log(sigma) (the flagship vpred config);
+    # 'discrete'   -> t_cond = nearest integer training timestep in [0, 1000)
+    timestep_type: str = "continuous"
 
     # -- conditioning ---------------------------------------------------------
     def _pose_embeddings(self, cameras: jax.Array, h: int, w: int,
@@ -55,9 +60,13 @@ class MVLDMSystem:
 
     def _t_cond(self, sigma):
         """Network noise-conditioning value for a sigma (broadcastable)."""
-        if self.schedule.kind == "vprediction":
-            # discrete conditioning: nearest training timestep
-            return jnp.searchsorted(self.schedule.train_sigmas, sigma).astype(jnp.float32)
+        if self.timestep_type == "discrete" and \
+                self.schedule.train_sigmas is not None:
+            # discrete conditioning: nearest training timestep index
+            return jnp.searchsorted(self.schedule.train_sigmas,
+                                    sigma).astype(jnp.float32)
+        # continuous: c_noise(sigma) = 0.25*log(sigma) for both the beta-table
+        # and EDM regimes (reference base_system.py:228,254)
         return self.schedule.c_noise(sigma)
 
     # -- one denoise evaluation with CFG --------------------------------------
@@ -290,13 +299,16 @@ class MVLDMSystem:
         drop_text_p: float = 0.1,
         lambda_mse: float = 1.0,
         lambda_mse_depth: float = 1.0,
+        return_aux: bool = False,
     ):
         """Latent v-pred/EDM denoising loss on a multi-view batch.
 
         batch: ``images_mv (B,N,3,H,W)`` in [-1,1], ``cameras_mv (B,N,18)``,
         ``depths_mv (B,N,1,H,W)`` pseudo-disparity in [0,1],
         ``text_emb (B,L,D)``, ``uncond_text_emb (B,L,D)``.
-        Returns ``(loss, metrics)``.
+        Returns ``(loss, metrics)``; with ``return_aux`` also the x0
+        prediction (for the end-to-end rendering loss, reference
+        ``mv_ldm_system.py:1039``).
         """
         images, cameras = batch["images_mv"], batch["cameras_mv"]
         depths = batch["depths_mv"]
@@ -322,6 +334,11 @@ class MVLDMSystem:
 
         # noise levels: one sigma per scene, shared across its views
         sigmas = self.schedule.sample_train_sigmas(k_sig, (B,))
+        if self.adjust_sigma_on_n:
+            # reference (when enabled) divides single-view train sigmas by
+            # sqrt(num_pred_views) (mv_ldm_system.py:252-253); the N-view
+            # generalization keeps train/inference noise scales consistent
+            sigmas = sigmas / jnp.sqrt(self.num_pred_views / N)
         sig = sigmas[:, None, None, None, None]
         t_cond = jnp.broadcast_to(self._t_cond(sigmas)[:, None], (B, N))
 
@@ -365,8 +382,11 @@ class MVLDMSystem:
         loss_mse = masked_mse(x0_pred[:, :, 0:4], x0[:, :, 0:4])
         loss_mse_depth = masked_mse(x0_pred[:, :, 4:8], x0[:, :, 4:8])
         loss = lambda_mse * loss_mse + lambda_mse_depth * loss_mse_depth
-        return loss, {"loss_mv_latent_mse": loss_mse,
-                      "loss_mv_latent_mse_depth": loss_mse_depth}
+        metrics = {"loss_mv_latent_mse": loss_mse,
+                   "loss_mv_latent_mse_depth": loss_mse_depth}
+        if return_aux:
+            return loss, metrics, {"x0_pred": x0_pred}
+        return loss, metrics
 
     def rendering_loss(
         self,

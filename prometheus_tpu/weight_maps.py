@@ -189,16 +189,38 @@ def map_clip_text(num_layers: int = 23) -> Iterator[tuple]:
 # Generic applier
 # ---------------------------------------------------------------------------
 
-def apply_weight_map(sd: dict, pairs, params: dict,
-                     prefix: str = "") -> tuple[int, list[str]]:
-    """Assign torch tensors into the flax tree; returns (n_mapped, missing).
+def _path_exists(params: dict, dotted: str) -> bool:
+    cur = params
+    for p in dotted.split("/"):
+        if not isinstance(cur, dict) or p not in cur:
+            return False
+        cur = cur[p]
+    return True
 
-    ``missing`` lists mapping entries whose source tensor was absent AND
-    destination exists (real gaps); extra source keys are the caller's job.
+
+def expected_torch_keys(pairs) -> set[str]:
+    """All torch state-dict keys a mapping table can consume (for coverage
+    checks: ``sd.keys() - expected_torch_keys(pairs)`` should be empty)."""
+    keys = set()
+    for src, _dst, _kind in pairs:
+        keys.add(f"{src}.weight")
+        keys.add(f"{src}.bias")
+    return keys
+
+
+def apply_weight_map(sd: dict, pairs, params: dict,
+                     prefix: str = "") -> tuple[int, list[str], list[str]]:
+    """Assign torch tensors into the flax tree.
+
+    Returns ``(n_mapped, missing, unassigned)``: ``missing`` lists entries
+    whose source tensor was absent while the destination exists (gaps in the
+    checkpoint), ``unassigned`` lists entries whose source exists but the
+    destination path does not (gaps in the flax tree / table bugs). Both
+    should be empty for a verified conversion.
     """
     from .checkpoint import assign_into, t_conv, t_linear
 
-    mapped, missing = 0, []
+    mapped, missing, unassigned = 0, [], []
     for src, dst, kind in pairs:
         dst = prefix + dst
 
@@ -207,12 +229,14 @@ def apply_weight_map(sd: dict, pairs, params: dict,
             if assign_into(params, path, value):
                 mapped += 1
                 return True
+            unassigned.append(path)
             return False
 
         if kind in ("conv", "attn1x1"):
             wk, bk = f"{src}.weight", f"{src}.bias"
             if wk not in sd:
-                missing.append(src)
+                if _path_exists(params, f"{dst}/kernel"):
+                    missing.append(src)
                 continue
             w = sd[wk]
             if kind == "attn1x1":   # 1x1 conv consumed by a Dense layer
@@ -224,7 +248,8 @@ def apply_weight_map(sd: dict, pairs, params: dict,
         elif kind in ("linear", "linear_nb"):
             wk = f"{src}.weight"
             if wk not in sd:
-                missing.append(src)
+                if _path_exists(params, f"{dst}/kernel"):
+                    missing.append(src)
                 continue
             put(f"{dst}/kernel", t_linear(sd[wk]))
             if kind == "linear" and f"{src}.bias" in sd:
@@ -232,7 +257,8 @@ def apply_weight_map(sd: dict, pairs, params: dict,
         elif kind in ("norm", "ln"):
             wk = f"{src}.weight"
             if wk not in sd:
-                missing.append(src)
+                if _path_exists(params, f"{dst}/scale"):
+                    missing.append(src)
                 continue
             put(f"{dst}/scale", sd[wk])
             if f"{src}.bias" in sd:
@@ -240,15 +266,17 @@ def apply_weight_map(sd: dict, pairs, params: dict,
         elif kind == "embed":
             wk = f"{src}.weight"
             if wk not in sd:
-                missing.append(src)
+                if _path_exists(params, f"{dst}/embedding"):
+                    missing.append(src)
                 continue
             put(f"{dst}/embedding", sd[wk])
         elif kind == "embed_raw":
             wk = f"{src}.weight"
             if wk not in sd:
-                missing.append(src)
+                if _path_exists(params, dst):
+                    missing.append(src)
                 continue
             put(dst, sd[wk])
         else:
             raise ValueError(kind)
-    return mapped, missing
+    return mapped, missing, unassigned

@@ -90,4 +90,6 @@ def test_conv_padding_surgery():
     k2, b2 = pad_conv_out_channels(ko, bo, 15, rng, copy_rgb_to_depth=True)
     assert k2.shape == (3, 3, 320, 15) and b2.shape == (15,)
     np.testing.assert_array_equal(k2[..., 4:8], ko[..., 0:4])
-    np.testing.assert_array_equal(b2[4:8], bo[0:4])
+    # reference zero-pads the bias for ALL new rows (mv_ldm.py:118
+    # F.pad(bias, (0, extra))) — depth rows get copied weights, zero bias
+    np.testing.assert_array_equal(b2[4:], np.zeros(11, np.float32))

@@ -76,7 +76,8 @@ def roundtrip(params: dict, pairs):
     sd = synthesize_torch_sd(params, pairs)
     # fresh tree of zeros to convert into
     zeros = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), params)
-    mapped, missing = apply_weight_map(sd, pairs, zeros)
+    mapped, missing, unassigned = apply_weight_map(sd, pairs, zeros)
+    assert unassigned == [], unassigned
     return zeros, mapped, missing, sd
 
 

@@ -121,6 +121,97 @@ def colmap_to_annotation(root: str, out: str):
     print(f"[metadata] {len(frames)} frames ({scene}) -> {out}")
 
 
+def dl3dv_raw(root: str, out: str, require_caption: bool = False):
+    """Ingest the raw DL3DV-10K layout into the annotation format.
+
+    Raw layout (reference ``dl3dv10k_dataset.py:63-118``): hash-named scene
+    dirs with nerfstudio ``transforms.json`` (``applied_transform`` affine,
+    distortion params), downsampled frames under ``images_4/``, and optional
+    per-scene ``captions.txt``.
+    """
+    ann, skipped = {}, 0
+    for scene in sorted(os.listdir(root)):
+        sdir = os.path.join(root, scene)
+        tpath = os.path.join(sdir, "transforms.json")
+        if not os.path.isdir(sdir) or not os.path.exists(tpath):
+            continue
+        with open(tpath) as fp:
+            meta = json.load(fp)
+        affine = np.asarray(meta.get("applied_transform",
+                                     np.eye(4)[:3].tolist()), np.float64)
+        frames, poses = [], []
+        for fr in meta.get("frames", []):
+            name = os.path.basename(fr["file_path"])
+            rel = os.path.join(scene, "images_4", name)
+            if not os.path.exists(os.path.join(root, rel)):
+                rel = os.path.join(scene, fr["file_path"])
+                if not os.path.exists(os.path.join(root, rel)):
+                    continue
+            c2w = np.asarray(fr["transform_matrix"], np.float64)
+            c2w34 = affine @ c2w  # nerfstudio -> OpenGL (reference :152)
+            frames.append(rel)
+            poses.append(c2w34[:3] if c2w34.shape[0] == 4 else c2w34)
+        if not frames:
+            skipped += 1
+            continue
+        # images_4 frames are 4x downsampled relative to transforms.json
+        h_meta = float(meta.get("h", 0)) or None
+        fx, fy = meta.get("fl_x"), meta.get("fl_y", meta.get("fl_x"))
+        cx, cy = meta.get("cx"), meta.get("cy")
+        if h_meta:
+            from PIL import Image
+
+            with Image.open(os.path.join(root, frames[0])) as im:
+                scale = im.height / h_meta
+            fx, fy, cx, cy = (v * scale for v in (fx, fy, cx, cy))
+        captions = []
+        cpath = os.path.join(sdir, "captions.txt")
+        if os.path.exists(cpath):
+            with open(cpath, encoding="utf-8") as fp:
+                captions = [ln.strip() for ln in fp if ln.strip()]
+        if require_caption and not captions:
+            skipped += 1
+            continue
+        ann[scene] = {"frames": frames,
+                      "poses": np.stack(poses).tolist(),
+                      "intrinsics": [fx, fy, cx, cy],
+                      "captions": captions}
+    with open(out, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] dl3dv: {len(ann)} scenes ({skipped} skipped) -> {out}")
+
+
+def urbangen_pkl(ann_path: str, out: str):
+    """Convert the UrbanGen annotation pkl into the annotation format.
+
+    Source layout (reference ``urban_dataset.py:112-140``): ``{scene_name:
+    [ {image_path, cam2world (4,4), cam_K (3,3)}, ... ]}`` with scene names
+    prefixed by their subdataset (``kitti360_...``, ``nuscenes_...``,
+    ``waymo_...``); poses are OpenCV c2w. Frame paths stay relative to the
+    zip/dir root the dataset's file reader is pointed at.
+    """
+    with open(ann_path, "rb") as fp:
+        src = pickle.load(fp)
+    ann = {}
+    for scene, frames_meta in src.items():
+        frames, poses, intr = [], [], []
+        for fm in frames_meta:
+            K = np.asarray(fm["cam_K"], np.float64)
+            frames.append(fm["image_path"])
+            poses.append(np.asarray(fm["cam2world"], np.float64)[:3])
+            intr.append([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+        if not frames:
+            continue
+        ann[scene] = {"frames": frames,
+                      "poses": np.stack(poses).tolist(),
+                      "intrinsics": intr,
+                      "subdataset": scene.split("_")[0],
+                      "captions": []}
+    with open(out, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] urbangen: {len(ann)} scenes -> {out}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -132,6 +223,13 @@ def main():
     s3 = sub.add_parser("colmap")
     s3.add_argument("--root", required=True)
     s3.add_argument("--out", required=True)
+    s4 = sub.add_parser("dl3dv-raw", help="raw DL3DV-10K scene dirs")
+    s4.add_argument("--root", required=True)
+    s4.add_argument("--out", required=True)
+    s4.add_argument("--require_caption", action="store_true")
+    s5 = sub.add_parser("urbangen-pkl", help="UrbanGen annotation pkl")
+    s5.add_argument("--annotation", required=True)
+    s5.add_argument("--out", required=True)
     args = ap.parse_args()
     if args.cmd == "scan-scenes":
         scan_scenes(args.root, args.out)
@@ -139,6 +237,10 @@ def main():
         re10k_index(args.root)
     elif args.cmd == "colmap":
         colmap_to_annotation(args.root, args.out)
+    elif args.cmd == "dl3dv-raw":
+        dl3dv_raw(args.root, args.out, args.require_caption)
+    elif args.cmd == "urbangen-pkl":
+        urbangen_pkl(args.annotation, args.out)
 
 
 if __name__ == "__main__":

@@ -53,9 +53,14 @@ def map_trajdit_key(k: str) -> str | None:
         sub = {
             "adaLN_modulation.0.weight": "adaLN_modulation/kernel",
             "adaLN_modulation.0.bias": "adaLN_modulation/bias",
-            "cattn.to_q.weight": "cattn/to_q/kernel",
-            "cattn.to_k.weight": "cattn/to_k/kernel",
-            "cattn.to_v.weight": "cattn/to_v/kernel",
+            # reference dit.py CrossAttention names its projections q/k/v
+            # (qkv_bias=True, dit.py:69-73)
+            "cattn.q.weight": "cattn/to_q/kernel",
+            "cattn.q.bias": "cattn/to_q/bias",
+            "cattn.k.weight": "cattn/to_k/kernel",
+            "cattn.k.bias": "cattn/to_k/bias",
+            "cattn.v.weight": "cattn/to_v/kernel",
+            "cattn.v.bias": "cattn/to_v/bias",
             "cattn.proj.weight": "cattn/proj/kernel",
             "cattn.proj.bias": "cattn/proj/bias",
             "sattn.qkv.weight": "sattn/qkv/kernel",
@@ -127,31 +132,33 @@ def main():
     mv_params = jax.tree.map(np.asarray, pipe.mvldm_params)
     mv_sd = towers["mvldm"]
     n_lv = len(pipe.mvldm.model.channel_mult)
-    m1, miss1 = apply_weight_map(
+    m1, miss1, un1 = apply_weight_map(
         strip(mv_sd, "model.unet."),
         map_ldm_unet(n_lv, pipe.mvldm.model.num_res_blocks),
         mv_params["params"], prefix="unet/")
-    m2, miss2 = apply_weight_map(
+    m2, miss2, un2 = apply_weight_map(
         strip(mv_sd, "model.vae."), map_ldm_vae(),
         mv_params["params"], prefix="vae/")
-    m3, miss3 = apply_weight_map(
+    m3, miss3, un3 = apply_weight_map(
         strip(mv_sd, "model.text_encoder."),
         map_clip_text(pipe.mvldm.model.clip_layers),
         mv_params["params"], prefix="text_encoder/")
     report["mvldm"] = {"mapped": m1 + m2 + m3,
-                       "missing": miss1 + miss2 + miss3}
+                       "missing": miss1 + miss2 + miss3,
+                       "unassigned": un1 + un2 + un3}
 
     # --- decoder tower: model.vae.* (gaussian-headed) + cross_view_dit.* ---
     gs_vars = jax.tree.map(np.asarray, pipe.gsdecoder_vars)
     gs_sd = towers["decoder"]
-    m4, miss4 = apply_weight_map(
+    m4, miss4, un4 = apply_weight_map(
         strip(gs_sd, "model.vae."), map_ldm_vae(),
         gs_vars["params"], prefix="vae/")
-    m5, miss5 = apply_weight_map(
+    m5, miss5, un5 = apply_weight_map(
         strip(gs_sd, "model.cross_view_dit."),
         map_raydiff_dit(pipe.gsdecoder.dit_depth),
         gs_vars["params"], prefix="cross_view_dit/")
-    report["decoder"] = {"mapped": m4 + m5, "missing": miss4 + miss5}
+    report["decoder"] = {"mapped": m4 + m5, "missing": miss4 + miss5,
+                         "unassigned": un4 + un5}
     pipe.mvldm_params = mv_params
     pipe.gsdecoder_vars = gs_vars
 

@@ -36,6 +36,20 @@ def parse_args():
     p.add_argument("--ckpt_dir", type=str, default=None)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--val_every", type=int, default=0,
+                   help="every N steps: validation sample + image-grid "
+                        "snapshot (reference mv_ldm_system.py:598-661)")
+    p.add_argument("--render_loss", action="store_true",
+                   help="mvldm stage: add the end-to-end rendering loss "
+                        "through the frozen stage-1 decoder (reference "
+                        "mv_ldm_system.py:1039-1125)")
+    p.add_argument("--gsdecoder_ckpt", type=str, default=None,
+                   help="orbax ckpt dir with trained stage-1 decoder vars "
+                        "(for --render_loss); random init if absent")
+    p.add_argument("--joint_sv", action="store_true",
+                   help="mvldm stage: mixed multi-view + single-view (T2I) "
+                        "batches (reference training_step, "
+                        "mv_ldm_system.py:112-143)")
     p.add_argument("--param_sharding", type=str, default="replicated",
                    choices=["replicated", "fsdp"])
     p.add_argument("--depth_teacher", type=str, default="da2",
@@ -58,7 +72,8 @@ def build_models(cfg, args):
                         vae_ch=32, vae_ch_mult=(1, 2), image_size=32)
         gs = GSDecoderModel(dit_hidden_size=32, dit_depth=1, dit_num_heads=4,
                             vae_ch=32, vae_ch_mult=(1, 2), max_num_images=4)
-        traj = TrajDiTModel(hidden_size=32, num_blocks=1, num_heads=4)
+        traj = TrajDiTModel(hidden_size=32, num_blocks=1, num_heads=4,
+                            text_dim=64)
         return mv, gs, traj
     net = cfg.algorithm.network
     mv = MVLDMModel(
@@ -90,7 +105,7 @@ def build_models(cfg, args):
     return mv, gs, traj
 
 
-def synthetic_mv_batch(key, B, N, img, ctx_dim):
+def synthetic_mv_batch(key, B, N, img, ctx_dim, sv: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +113,7 @@ def synthetic_mv_batch(key, B, N, img, ctx_dim):
 
     k1, k2, k3 = jax.random.split(key, 3)
     cams = jnp.tile(get_random_cameras(k1, N, size=img)[None], (B, 1, 1))
-    return {
+    out = {
         "images_mv": jax.random.uniform(k2, (B, N, 3, img, img),
                                         minval=-1, maxval=1),
         "cameras_mv": cams,
@@ -107,6 +122,24 @@ def synthetic_mv_batch(key, B, N, img, ctx_dim):
         "text_emb": jax.random.normal(k2, (B, 77, ctx_dim)) * 0.02,
         "uncond_text_emb": jnp.zeros((B, 77, ctx_dim)),
     }
+    if sv > 0:  # joint MV + T2I batch (reference JointDataset item)
+        out["images_sv"] = jax.random.uniform(
+            k3, (B, sv, 3, img, img), minval=-1, maxval=1)
+        out["depths_sv"] = jax.random.uniform(
+            k1, (B, sv, 1, img, img), minval=0.05, maxval=1.0)
+        out["text_emb_sv"] = jax.random.normal(k1, (B, 77, ctx_dim)) * 0.02
+    return out
+
+
+def dummy_sv_camera(image_size: int):
+    """The reference's fixed identity camera for 2-D data
+    (mv_ldm_system.py:188-193: fx=fy=207.3 @ 256^2, scaled to size)."""
+    import jax.numpy as jnp
+
+    s = image_size / 256.0
+    return jnp.asarray([1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0,
+                        207.3 * s, 207.3 * s, 128.0 * s, 128.0 * s,
+                        float(image_size), float(image_size)], jnp.float32)
 
 
 def main():
@@ -135,7 +168,12 @@ def main():
     img = mv_model.image_size
     hw = mv_model.latent_size
     ctx = mv_model.context_dim
-    B = max(int(tr.batch_size) * n_dev // n_dev, n_dev)  # global batch
+    # batch_size is per device (reference semantics: 8/GPU x 8 GPUs = 64
+    # effective, mvldm_vpred_exp.yaml:17-40); the step consumes the global
+    # batch = per_device * mesh * grad_accum and scans accum micro-batches
+    accum = int(tr.get("accumulate_grad_batches", 1))
+    B = int(tr.batch_size) * n_dev * accum  # global batch
+    assert B % (n_dev * accum) == 0
     N = int(tr.num_input_views) if not args.small else 2
 
     sched = make_schedule(cfg.experiment.get("scheduler_type", "vprediction"),
@@ -144,6 +182,8 @@ def main():
 
     if args.stage == "mvldm":
         system = MVLDMSystem(model=mv_model, schedule=sched,
+                             timestep_type=cfg.experiment.get(
+                                 "timestep_type", "continuous"),
                              num_pred_views=int(tr.num_pred_views)
                              if not args.small else N)
         params = mv_model.init(
@@ -154,11 +194,53 @@ def main():
             method=MVLDMModel.init_everything)
         model_state = {}
 
+        # optional end-to-end rendering loss through the frozen stage-1
+        # decoder (reference rendering_loss_fn, mv_ldm_system.py:1039-1125)
+        gs_system = gs_frozen_vars = None
+        if args.render_loss:
+            from prometheus_tpu.systems import GSDecoderSystem
+
+            gs_frozen_vars = gs_model.init(
+                key, jnp.zeros((1, 1, 3, img, img)),
+                jnp.zeros((1, 1, 14, hw, hw)),
+                method=GSDecoderModel.init_everything)
+            if args.gsdecoder_ckpt:
+                # TrainState restores as [step, params, opt, ema, state];
+                # use the EMA weights (final-ckpt semantics)
+                raw = restore_checkpoint(args.gsdecoder_ckpt)
+                gs_frozen_vars = {"params": raw[3] if raw[3] is not None
+                                  else raw[1], **raw[4]}
+                print(f"[train] frozen stage-1 decoder from "
+                      f"{args.gsdecoder_ckpt}")
+            else:
+                print("[train] WARNING: --render_loss without "
+                      "--gsdecoder_ckpt renders through a random decoder")
+            gs_frozen_vars = jax.lax.stop_gradient(gs_frozen_vars)
+            gs_system = GSDecoderSystem(
+                model=gs_model, render_size=img if args.small else 256)
+        sv_cam = dummy_sv_camera(img)
+
         def loss_fn(p, ms, batch, k):
-            loss, metrics = system.multi_view_loss(
-                p, k, batch,
-                drop_pose_p=float(tr.get("drop_pose_p", 0.1)),
-                drop_text_p=float(tr.get("text_to_3d_drop_text_p", 0.1)))
+            kw = dict(drop_pose_p=float(tr.get("drop_pose_p", 0.1)),
+                      drop_text_p=float(tr.get("text_to_3d_drop_text_p", 0.1)))
+            loss, metrics, aux = system.multi_view_loss(
+                p, k, batch, return_aux=True, **kw)
+            if "images_sv" in batch:  # joint MV + T2I step
+                loss_sv, m_sv = system.single_view_loss(
+                    p, jax.random.fold_in(k, 1), batch, sv_cam,
+                    drop_text_p=float(tr.get("text_to_2d_drop_text_p", 0.1)))
+                loss = loss + float(tr.get("lambda_sv", 1.0)) * loss_sv
+                metrics.update(m_sv)
+            if gs_system is not None:
+                loss_r, m_r = system.rendering_loss(
+                    gs_system, gs_frozen_vars, aux["x0_pred"],
+                    batch["cameras_mv"], batch["images_mv"],
+                    batch["depths_mv"], batch["cameras_mv"],
+                    rendering_size=img if args.small else 256,
+                    lambda_lpips=0.0,
+                    lambda_depth=float(tr.get("lambda_render_depth", 0.5)))
+                loss = loss + float(tr.get("lambda_render", 0.1)) * loss_r
+                metrics.update(m_r)
             return loss, (metrics, ms)
 
     elif args.stage == "gsdecoder":
@@ -178,14 +260,41 @@ def main():
         def loss_fn(p, ms, batch, k):
             return system.loss(p, ms, batch, k, num_input_views=n_in,
                                render_size=render_size)
-    else:
-        raise NotImplementedError("trajdit stage CLI wiring pending")
+    else:  # trajdit: text -> camera-trajectory diffusion (reference
+        # traj_dit_system.py:18-66, trained through the same harness)
+        from prometheus_tpu.systems import TrajDiTSystem
+
+        system = TrajDiTSystem(model=traj_model)
+        N = traj_model.num_tokens  # batches must carry the full trajectory
+        ctx = traj_model.text_dim
+        params = traj_model.init(
+            key, jnp.zeros((1, N, 11)), jnp.zeros((1, 77, ctx)),
+            jnp.zeros((1,)))
+        model_state = {}
+
+        def loss_fn(p, ms, batch, k):
+            loss = system.loss(p, k, batch["cameras_mv"], batch["text_emb"])
+            return loss, ({"loss_traj": loss}, ms)
 
     tx = make_optimizer(
         learning_rate=float(tr.learning_rate),
         weight_decay=float(tr.get("weight_decay", 1e-4)),
         betas=tuple(tr.get("betas", (0.9, 0.95))),
     )
+    if args.stage == "mvldm":
+        # reference trains the U-Net only; VAE + CLIP text are frozen
+        # (mv_ldm.py:52-64 requires_grad_(False)) — mask them out so AdamW
+        # weight decay cannot drift the frozen towers
+        import optax
+
+        def _label(path, _):
+            names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+            frozen = any(n in ("vae", "text_encoder") for n in names)
+            return "frozen" if frozen else "train"
+
+        labels = jax.tree_util.tree_map_with_path(_label, params)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels)
     state = init_train_state(params, model_state, tx)
     state = TrainState(state.step,
                        shard_params(state.params, mesh, args.param_sharding),
@@ -198,7 +307,6 @@ def main():
         state = restore_checkpoint(latest, target=state)
         print(f"[train] resumed from {latest}")
 
-    accum = int(tr.get("accumulate_grad_batches", 1))
     step_fn = make_train_step(loss_fn, tx, grad_accum=accum,
                               ema_decay=float(tr.get("ema_decay", 0.9999)))
 
@@ -223,6 +331,12 @@ def main():
                             seed=int(cfg.get("seed", 0)))
         tokenizer = CLIPTokenizer(cfg.get("bpe_vocab"))
         if args.depth_teacher == "da2":
+            if not cfg.get("depth_weights"):
+                raise SystemExit(
+                    "--depth_teacher da2 needs converted DepthAnything-V2 "
+                    "weights (set depth_weights in the config); a randomly "
+                    "initialized teacher would supervise on garbage. Use "
+                    "--depth_teacher luminance for smoke runs.")
             depth_fn = make_depth_fn(key,
                                      weights_path=cfg.get("depth_weights"))
         else:  # luminance proxy: shape-correct, trivially cheap
@@ -231,20 +345,27 @@ def main():
                 return jnp.clip(lum, 0.0, 1.0)
         uncond_ids = jnp.asarray(tokenizer([""]))
 
+        if args.stage == "mvldm":
+            from prometheus_tpu.models import MVLDMModel as _M
+
+            # the CLIP text tower is frozen (reference mv_ldm.py:52) — embed
+            # with the restored params, jitted once, not the live train params
+            frozen_text_params = state.params
+
+            @jax.jit
+            def encode_text_frozen(ids):
+                return mv_model.apply(frozen_text_params, ids,
+                                      method=_M.encode_text)
+
         def host_batch_to_device(raw):
             """images/cameras/text -> the loss's batch dict (pseudo-depth
             teacher + CLIP text embeddings computed on device)."""
             images = jnp.asarray(raw["images_mv"])
             ids = jnp.asarray(tokenizer(raw["text_mv"]))
             if args.stage == "mvldm":
-                from prometheus_tpu.models import MVLDMModel as _M
-
-                # state.params for this stage is the full variables dict
-                text_emb = mv_model.apply(state.params, ids,
-                                          method=_M.encode_text)
-                uncond = mv_model.apply(
-                    state.params, jnp.broadcast_to(uncond_ids, ids.shape),
-                    method=_M.encode_text)
+                text_emb = encode_text_frozen(ids)
+                uncond = encode_text_frozen(
+                    jnp.broadcast_to(uncond_ids, ids.shape))
             else:
                 text_emb = uncond = None
             out = {
@@ -264,13 +385,59 @@ def main():
 
         loader_iter = gen()
 
+    def validation_snapshot(step, batch, state):
+        """Periodic sample + image-grid snapshot
+        (reference mv_ldm_system.py:598-661 logs the same artifacts)."""
+        import numpy as np
+
+        from prometheus_tpu.logging_utils import MetricLogger
+        from prometheus_tpu.utils.image import make_grid, postprocess_image
+
+        logger = validation_snapshot.logger
+        if logger is None:
+            logger = MetricLogger(ckpt_dir, rank_zero=is_main_process())
+            validation_snapshot.logger = logger
+        p = state.ema_params if state.ema_params is not None else state.params
+        if args.stage == "mvldm":
+            lat = system.sample(
+                p, jax.random.PRNGKey(step), batch["cameras_mv"][:1],
+                batch["text_emb"][:1], batch["uncond_text_emb"][:1],
+                num_inference_steps=20, latent_hw=hw)
+            imgs, deps = system.decode_images_and_depths(p, lat)
+            grid = make_grid(postprocess_image(np.asarray(imgs[0])))
+            logger.log_image("val_mv_images", grid, step)
+        elif args.stage == "gsdecoder":
+            variables = {"params": p, **state.model_state}
+            out = system.inference(
+                variables, batch["images_mv"][:1, :n_in],
+                batch["depths_mv"][:1, :n_in], batch["cameras_mv"][:1, :n_in],
+                batch["cameras_mv"][:1, n_in:])
+            grid = make_grid(
+                postprocess_image(np.asarray(out["images_nv_pred"][0])))
+            logger.log_image("val_nvs_renders", grid, step)
+        else:  # trajdit: sampled trajectory frusta plot
+            from prometheus_tpu.utils.visualization import plot_cameras_png
+
+            cams = system.inference(p, jax.random.PRNGKey(step),
+                                    batch["text_emb"][:1],
+                                    num_inference_steps=20, image_size=256)
+            path = os.path.join(ckpt_dir, "snapshots",
+                                f"{step:09d}_val_traj.png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            plot_cameras_png(path, np.asarray(cams[0]))
+
+    validation_snapshot.logger = None
+
     t_start = time.time()
     for step in range(int(state.step), max_steps):
         key, k_batch, k_step = jax.random.split(key, 3)
         if loader_iter is not None:
             batch = next(loader_iter)
         else:
-            batch = synthetic_mv_batch(k_batch, B, N, img, ctx)
+            batch = synthetic_mv_batch(
+                k_batch, B, N, img, ctx,
+                sv=int(tr.get("images_per_iter", 2)) if args.joint_sv
+                and args.stage == "mvldm" else 0)
         batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, k_step)
         if step % args.log_every == 0 and is_main_process():
@@ -281,6 +448,12 @@ def main():
             print(json.dumps(line), flush=True)
             with open(log_path, "a") as fp:
                 fp.write(json.dumps(line) + "\n")
+        if args.val_every > 0 and (step + 1) % args.val_every == 0 \
+                and is_main_process():
+            try:
+                validation_snapshot(step + 1, batch, state)
+            except Exception as e:  # snapshots must never kill the run
+                print(f"[train] validation snapshot failed: {e}")
         if args.save_every > 0 and (step + 1) % args.save_every == 0 \
                 and is_main_process():
             save_checkpoint(ckpt_dir, state, step + 1)
