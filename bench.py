@@ -25,7 +25,11 @@ import jax.numpy as jnp
 
 # NOTE: no persistent compilation cache here — the axon (tunneled TPU)
 # backend's executable serialization path stalls for minutes per entry,
-# costing far more than it saves. Compiles are paid once in the warm-up run.
+# costing far more than it saves. Re-confirmed round 2: a 12-matmul toy jit
+# that compiles in seconds without the cache did not finish compile+serialize
+# within 9.5 minutes with jax_compilation_cache_dir set. Compiles are paid
+# once in the warm-up run; serving cold-start therefore ships as
+# "keep the process warm" (serve.py), not an on-disk executable cache.
 
 
 def _log(msg: str):

@@ -156,23 +156,147 @@ def _nss_deviation(alpha: float, sigma_sq: float) -> float:
     return 0.8 * dv / 3.0 + 0.2 * da
 
 
-def brisque(img: np.ndarray, svr_params: str | None = None) -> float:
-    """No-reference quality (lower = better). Proxy score unless an SVR
-    parameter file is supplied (same 36-dim features either way)."""
+# ---------------------------------------------------------------------------
+# Official-asset paths: libsvm SVR (BRISQUE 'allmodel') and NIQE pristine MVG
+# ---------------------------------------------------------------------------
+
+def load_svr_model(path: str) -> dict:
+    """Parse a libsvm epsilon-SVR model file (the official BRISQUE
+    ``allmodel`` format): header (svm_type/kernel_type/gamma/rho), then
+    support vectors as ``coef idx:val ...`` lines after ``SV``."""
+    header, sv_coef, svs = {}, [], []
+    with open(path) as fp:
+        lines = [ln.strip() for ln in fp]
+    i = 0
+    while i < len(lines) and lines[i] != "SV":
+        parts = lines[i].split()
+        if parts:
+            header[parts[0]] = parts[1:] if len(parts) > 2 else \
+                (parts[1] if len(parts) == 2 else True)
+        i += 1
+    n_feat = 0
+    for ln in lines[i + 1:]:
+        if not ln:
+            continue
+        parts = ln.split()
+        sv_coef.append(float(parts[0]))
+        pairs = [p.split(":") for p in parts[1:]]
+        n_feat = max(n_feat, max(int(ix) for ix, _ in pairs))
+        svs.append({int(ix): float(v) for ix, v in pairs})
+    sv = np.zeros((len(svs), n_feat))
+    for r, d in enumerate(svs):
+        for ix, v in d.items():
+            sv[r, ix - 1] = v
+    return {"gamma": float(header.get("gamma", 1.0)),
+            "rho": float(header.get("rho", 0.0)),
+            "coef": np.asarray(sv_coef), "sv": sv}
+
+
+def load_feature_range(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a libsvm ``svm-scale`` range file (BRISQUE ``allrange``):
+    lines ``idx min max`` after the 'x / lower upper' header."""
+    lo, hi = {}, {}
+    with open(path) as fp:
+        for ln in fp:
+            parts = ln.split()
+            if len(parts) == 3 and parts[0].isdigit():
+                lo[int(parts[0])] = float(parts[1])
+                hi[int(parts[0])] = float(parts[2])
+    n = max(lo)
+    lo_a = np.asarray([lo.get(i + 1, 0.0) for i in range(n)])
+    hi_a = np.asarray([hi.get(i + 1, 1.0) for i in range(n)])
+    return lo_a, hi_a
+
+
+def svr_predict(model: dict, x: np.ndarray) -> float:
+    """RBF epsilon-SVR decision value: sum_i coef_i K(sv_i, x) - rho."""
+    d2 = np.sum((model["sv"] - x[None, : model["sv"].shape[1]]) ** 2, axis=1)
+    k = np.exp(-model["gamma"] * d2)
+    return float(model["coef"] @ k - model["rho"])
+
+
+def brisque(img: np.ndarray, svr_params: str | None = None,
+            feature_range: str | None = None) -> float:
+    """No-reference quality (lower = better).
+
+    With ``svr_params`` (the official libsvm ``allmodel``, optionally plus
+    the ``allrange`` scaling file) this computes the calibrated BRISQUE
+    score; otherwise a documented NSS-deviation proxy on the same 36-dim
+    features."""
     f = brisque_features(img)
     if svr_params is not None:
-        raise NotImplementedError(
-            "plug the official allmodel SVR here when assets are available")
+        model = load_svr_model(svr_params)
+        if feature_range is not None:
+            lo, hi = load_feature_range(feature_range)
+            n = min(len(f), len(lo))
+            f = f.copy()
+            f[:n] = -1.0 + 2.0 * (f[:n] - lo[:n]) / np.maximum(
+                hi[:n] - lo[:n], 1e-12)
+        return svr_predict(model, f)
     d = 0.5 * (_nss_deviation(f[0], f[1]) + _nss_deviation(f[18], f[19]))
     return float(100.0 * d)
 
 
+def _patch_nss_features(m: np.ndarray) -> list[float]:
+    """18 NSS features of one MSCN patch (GGD 2 + 4 orientations x AGGD 4)."""
+    feats = []
+    alpha, sigma_sq = _ggd_params(m.ravel())
+    feats += [alpha, sigma_sq]
+    for (dy, dx) in [(0, 1), (1, 0), (1, 1), (1, -1)]:
+        shifted = np.roll(np.roll(m, dy, axis=0), dx, axis=1)
+        feats += list(_aggd_params((m * shifted).ravel()))
+    return feats
+
+
+def niqe_features_patches(gray: np.ndarray, patch: int = 96) -> np.ndarray:
+    """Official NIQE per-patch features: 18 at full scale + 18 at half scale
+    over aligned ``patch``-sized blocks -> (n_patches, 36)."""
+    m1 = mscn(gray)
+    m2 = mscn(gray[::2, ::2])
+    h, w = gray.shape
+    feats = []
+    for y in range(0, h - patch + 1, patch):
+        for x in range(0, w - patch + 1, patch):
+            f = _patch_nss_features(m1[y:y + patch, x:x + patch])
+            f += _patch_nss_features(
+                m2[y // 2:(y + patch) // 2, x // 2:(x + patch) // 2])
+            feats.append(f)
+    return np.asarray(feats) if feats else np.zeros((0, 36))
+
+
+def load_niqe_model(mat_path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load the pristine MVG (``niqe_image_params.mat``: pop_mu, pop_cov)."""
+    from scipy.io import loadmat
+
+    m = loadmat(mat_path)
+    mu = np.asarray(m["pop_mu"]).ravel()
+    cov = np.asarray(m["pop_cov"])
+    return mu, cov
+
+
 def niqe(img: np.ndarray, model_params: str | None = None,
          patch: int = 32) -> float:
-    """NIQE-style score (lower = better): Mahalanobis-free MVG distance of
-    per-patch NSS features from their own sharpest-patch population unless a
-    pristine-model file (``niqe_image_params.mat``) is provided."""
+    """NIQE score (lower = better).
+
+    With ``model_params`` (the official ``niqe_image_params.mat``) this is
+    the calibrated NIQE: Mahalanobis distance between the pristine MVG and
+    the test image's patch-feature MVG. Otherwise a documented NSS-deviation
+    proxy."""
     gray = _to_gray(img)
+    if model_params is not None:
+        mu0, cov0 = load_niqe_model(model_params)
+        p = 96 if min(gray.shape) >= 192 else max(
+            32, (min(gray.shape) // 2) // 16 * 16)
+        feats = niqe_features_patches(gray, patch=p)
+        if feats.shape[0] < 2:
+            feats = niqe_features_patches(gray, patch=max(16, p // 2))
+        mu1 = feats.mean(0)
+        cov1 = np.cov(feats, rowvar=False)
+        n = min(len(mu0), len(mu1))
+        d = mu0[:n] - mu1[:n]
+        mid = (cov0[:n, :n] + cov1[:n, :n]) / 2.0
+        return float(np.sqrt(max(
+            d @ np.linalg.pinv(mid) @ d, 0.0)))
     h, w = gray.shape
     m = mscn(gray)
     feats = []
@@ -184,9 +308,6 @@ def niqe(img: np.ndarray, model_params: str | None = None,
     if not feats:
         return 0.0
     feats = np.asarray(feats)
-    if model_params is not None:
-        raise NotImplementedError(
-            "plug the official pristine MVG here when assets are available")
     devs = [_nss_deviation(a, s) for a, s in feats]
     return float(100.0 * np.mean(devs))
 

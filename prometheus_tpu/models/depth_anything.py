@@ -1,12 +1,18 @@
 """DepthAnything-V2 (Small): monocular relative-depth teacher in flax.
 
-Replaces the reference's frozen torch DepthAnything-V2 pseudo-depth teacher
-(``base_system.py:164-169,362-381``): a DINOv2 ViT-S/14 backbone (384 width,
-12 layers, 6 heads, patch 14, learned pos-embed with bilinear interpolation)
-feeding a DPT head (4-level reassemble -> fusion -> disparity). Weights load
-from the published torch checkpoint via ``load_torch_da2_weights``; random
-init keeps the training pipeline executable offline (pseudo-depth is then
-uninformative but well-formed).
+Replaces the reference's frozen depth teacher — transformers'
+``DepthAnythingForDepthEstimation`` loaded from
+``Depth-Anything-V2-Small-hf`` (``base_system.py:164-169,362-381``) — with a
+weight-compatible flax implementation: DINOv2 ViT-S/14 backbone (fused-qkv
+blocks with layer scale, shared final norm on each tapped layer) feeding the
+DPT-style neck (reassemble with conv-transpose resizes, 3x3 no-bias convs,
+top-down feature fusion with pre-act residual units and align-corners
+bilinear upsampling) and the 3-conv relative-depth head.
+
+``load_hf_da2_weights`` converts the HF torch state dict (verified
+numerically against ``transformers.DepthAnythingForDepthEstimation`` in
+``tests/test_reference_parity.py``). Random init keeps the training pipeline
+executable offline (pseudo-depth is then uninformative but well-formed).
 
 Outputs normalized disparity in [0, 1] (reference ``get_depth_gt`` with
 ``return_disp=True, normalize=True``).
@@ -22,18 +28,33 @@ from flax import linen as nn
 
 from ..ops.attention import scaled_dot_product_attention
 
-PATCH = 14
-# ViT-S/14 dims
-WIDTH, LAYERS, HEADS = 384, 12, 6
-# DPT head dims for the small model
-FEAT_DIM = 64
-OUT_LAYERS = (2, 5, 8, 11)
 _IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def resize_bilinear_ac(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear resize with torch ``align_corners=True`` semantics, NHWC.
+
+    (jax.image.resize implements half-pixel centers = align_corners=False;
+    the HF DPT fusion/head interpolations are align_corners=True.)
+    """
+    B, H, W, C = x.shape
+    ys = jnp.linspace(0.0, H - 1.0, out_h) if out_h > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(0.0, W - 1.0, out_w) if out_w > 1 else jnp.zeros((1,))
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 class ViTBlock(nn.Module):
-    width: int
+    """DINOv2 block: pre-LN attention + layer-scale, pre-LN MLP + layer-scale."""
+
     heads: int
     dtype: Any = jnp.float32
 
@@ -46,50 +67,65 @@ class ViTBlock(nn.Module):
         q, k, v = jnp.split(qkv.reshape(b, t, 3, self.heads, d), 3, axis=2)
         attn = scaled_dot_product_attention(q[:, :, 0], k[:, :, 0], v[:, :, 0])
         h = nn.Dense(c, dtype=self.dtype, name="proj")(attn.reshape(b, t, c))
-        ls1 = self.param("ls1", nn.initializers.constant(1e-5), (c,))
+        ls1 = self.param("ls1", nn.initializers.ones, (c,))
         x = x + h * ls1
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(4 * c, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(jax.nn.gelu(h))
-        ls2 = self.param("ls2", nn.initializers.constant(1e-5), (c,))
+        # DINOv2 hidden_act='gelu' is the exact erf form
+        h = nn.Dense(c, dtype=self.dtype,
+                     name="mlp_fc2")(jax.nn.gelu(h, approximate=False))
+        ls2 = self.param("ls2", nn.initializers.ones, (c,))
         return x + h * ls2
 
 
-class DINOv2Small(nn.Module):
-    """Returns intermediate tokens (no cls) from OUT_LAYERS, (B, h*w, 384)."""
+class DINOv2(nn.Module):
+    """Returns tapped hidden states (cls kept, shared final norm applied)."""
 
+    width: int = 384
+    layers: int = 12
+    heads: int = 6
+    patch: int = 14
+    out_layers: Sequence[int] = (2, 5, 8, 11)
+    native_grid: int = 37         # 518 / 14 pos-embed grid of the released ckpt
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, 3) normalized
         B, H, W, _ = x.shape
-        gh, gw = H // PATCH, W // PATCH
-        tok = nn.Conv(WIDTH, (PATCH, PATCH), strides=(PATCH, PATCH),
-                      padding="VALID", dtype=self.dtype, name="patch_embed")(x)
-        tok = tok.reshape(B, gh * gw, WIDTH)
-        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, WIDTH))
+        gh, gw = H // self.patch, W // self.patch
+        tok = nn.Conv(self.width, (self.patch, self.patch),
+                      strides=(self.patch, self.patch), padding="VALID",
+                      dtype=self.dtype, name="patch_embed")(x)
+        tok = tok.reshape(B, gh * gw, self.width)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.width))
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 37 * 37 + 1, WIDTH))  # 518/14 = 37 native grid
-        # interpolate patch pos-embed to the current grid
+                         (1, self.native_grid**2 + 1, self.width))
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         native = int(np.sqrt(pos_patch.shape[1]))
-        pos_patch = jax.image.resize(
-            pos_patch.reshape(1, native, native, WIDTH),
-            (1, gh, gw, WIDTH), method="bicubic").reshape(1, gh * gw, WIDTH)
+        if (gh, gw) != (native, native):
+            pos_patch = jax.image.resize(
+                pos_patch.reshape(1, native, native, self.width),
+                (1, gh, gw, self.width), method="bicubic")
+        pos_patch = pos_patch.reshape(1, gh * gw, self.width)
         tokens = jnp.concatenate(
-            [jnp.broadcast_to(cls, (B, 1, WIDTH)) + pos_cls,
+            [jnp.broadcast_to(cls, (B, 1, self.width)) + pos_cls,
              tok + pos_patch], axis=1)
+        final_norm = nn.LayerNorm(epsilon=1e-6, name="norm")
         outs = []
-        for i in range(LAYERS):
-            tokens = ViTBlock(WIDTH, HEADS, dtype=self.dtype,
+        for i in range(self.layers):
+            tokens = ViTBlock(self.heads, dtype=self.dtype,
                               name=f"block_{i}")(tokens)
-            if i in OUT_LAYERS:
-                outs.append(nn.LayerNorm(epsilon=1e-6, name=f"out_norm_{i}")(
-                    tokens[:, 1:]))
+            if i in self.out_layers:
+                # HF Dinov2Backbone applies the SHARED final layernorm to
+                # every tapped hidden state (apply_layernorm=True)
+                outs.append(final_norm(tokens))
         return outs, (gh, gw)
 
 
-class ResidualConvUnit(nn.Module):
+class PreActResidualUnit(nn.Module):
+    """relu-conv-relu-conv + skip (HF DepthAnythingPreActResidualLayer)."""
+
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,67 +137,121 @@ class ResidualConvUnit(nn.Module):
         return x + h
 
 
-class DPTHead(nn.Module):
-    """Reassemble 4 token maps to multi-scale features, fuse top-down."""
+class ReassembleLayer(nn.Module):
+    """1x1 projection + factor-dependent resize (HF ReassembleLayer)."""
 
-    feat: int = FEAT_DIM
+    channels: int
+    factor: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f):  # (B, gh, gw, width)
+        f = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                    name="projection")(f)
+        if self.factor > 1:
+            k = int(self.factor)
+            # torch ConvTranspose2d(k, stride=k): transpose_kernel=True gives
+            # the gradient-of-conv semantics torch uses
+            f = nn.ConvTranspose(self.channels, (k, k), strides=(k, k),
+                                 padding="VALID", transpose_kernel=True,
+                                 dtype=self.dtype, name="resize")(f)
+        elif self.factor < 1:
+            s = int(round(1 / self.factor))
+            f = nn.Conv(self.channels, (3, 3), strides=(s, s),
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        name="resize")(f)
+        return f
+
+
+class DPTNeckHead(nn.Module):
+    """HF DepthAnything neck (reassemble + rn convs + fusion) and head."""
+
+    fusion: int = 64
+    head_hidden: int = 32
+    neck_channels: Sequence[int] = (48, 96, 192, 384)
+    factors: Sequence[float] = (4, 2, 1, 0.5)
+    patch: int = 14
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, token_maps: Sequence[jax.Array], grid):
         gh, gw = grid
-        # per-level projection + resample to (x4, x2, x1, x0.5) of grid
-        scales = (4, 2, 1, 0.5)
-        chans = (48, 96, 192, 384)
         feats = []
         for i, t in enumerate(token_maps):
             B = t.shape[0]
-            f = t.reshape(B, gh, gw, WIDTH)
-            f = nn.Conv(chans[i], (1, 1), dtype=self.dtype,
-                        name=f"proj_{i}")(f)
-            s = scales[i]
-            nh, nw = int(gh * s), int(gw * s)
-            f = jax.image.resize(f, (B, nh, nw, chans[i]), method="bilinear")
-            f = nn.Conv(self.feat, (3, 3), dtype=self.dtype,
-                        name=f"layer_rn_{i}")(f)
+            f = t[:, 1:].reshape(B, gh, gw, t.shape[-1])  # drop cls
+            f = ReassembleLayer(self.neck_channels[i], self.factors[i],
+                                dtype=self.dtype, name=f"reassemble_{i}")(f)
+            f = nn.Conv(self.fusion, (3, 3), use_bias=False,
+                        dtype=self.dtype, name=f"conv_{i}")(f)
             feats.append(f)
-        # top-down fusion
-        x = ResidualConvUnit(dtype=self.dtype, name="rcu_3")(feats[3])
-        for i in (2, 1, 0):
-            B, h, w, c = feats[i].shape
-            x = jax.image.resize(x, (B, h, w, c), method="bilinear")
-            x = x + ResidualConvUnit(dtype=self.dtype, name=f"rcu_{i}")(feats[i])
-            x = nn.Conv(self.feat, (1, 1), dtype=self.dtype,
-                        name=f"fuse_out_{i}")(x)
-        # output head: upsample x2 twice -> conv -> relu -> conv -> disparity
-        B, h, w, c = x.shape
-        x = jax.image.resize(x, (B, h * 2, w * 2, c), method="bilinear")
-        x = nn.Conv(self.feat // 2, (3, 3), dtype=self.dtype, name="out_conv1")(x)
-        x = jax.image.resize(x, (B, h * 4, w * 4, self.feat // 2),
-                             method="bilinear")
-        x = nn.Conv(32, (3, 3), dtype=self.dtype, name="out_conv2")(x)
-        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="out_conv3")(
-            jax.nn.relu(x))
-        return jax.nn.relu(x[..., 0])  # raw disparity >= 0
+
+        # fusion: reversed (deepest first); each layer: +rcu1(residual),
+        # rcu2, align-corners x2 (or to the next feature's size), 1x1 proj
+        x = None
+        for idx, i in enumerate(reversed(range(len(feats)))):
+            name = f"fusion_{i}"
+            f = feats[i]
+            if x is None:
+                x = f
+            else:
+                x = x + PreActResidualUnit(dtype=self.dtype,
+                                           name=f"{name}_rcu1")(f)
+            x = PreActResidualUnit(dtype=self.dtype, name=f"{name}_rcu2")(x)
+            if i > 0:
+                nh, nw = feats[i - 1].shape[1:3]
+            else:
+                nh, nw = x.shape[1] * 2, x.shape[2] * 2
+            x = resize_bilinear_ac(x, nh, nw)
+            x = nn.Conv(self.fusion, (1, 1), dtype=self.dtype,
+                        name=f"{name}_projection")(x)
+
+        x = nn.Conv(self.fusion // 2, (3, 3), dtype=self.dtype,
+                    name="head_conv1")(x)
+        x = resize_bilinear_ac(x, gh * self.patch, gw * self.patch)
+        x = nn.Conv(self.head_hidden, (3, 3), dtype=self.dtype,
+                    name="head_conv2")(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype,
+                    name="head_conv3")(jax.nn.relu(x))
+        return jax.nn.relu(x[..., 0])  # relative depth (disparity) >= 0
 
 
 class DepthAnythingV2(nn.Module):
+    width: int = 384
+    layers: int = 12
+    heads: int = 6
+    patch: int = 14
+    out_layers: Sequence[int] = (2, 5, 8, 11)
+    native_grid: int = 37
+    fusion: int = 64
+    head_hidden: int = 32
+    neck_channels: Sequence[int] = (48, 96, 192, 384)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
+    def __call__(self, images: jax.Array,
+                 normalize: bool = True) -> jax.Array:
         """images (B, 3, H, W) in [-1, 1] -> normalized disparity (B, 1, H, W)."""
         B, _, H, W = images.shape
         x = jnp.moveaxis(images, 1, -1) * 0.5 + 0.5  # [0,1]
         x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
         # pad to a multiple of the patch size
-        ph = -H % PATCH
-        pw = -W % PATCH
+        ph = -H % self.patch
+        pw = -W % self.patch
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        outs, grid = DINOv2Small(dtype=self.dtype, name="backbone")(x)
-        disp = DPTHead(dtype=self.dtype, name="head")(outs, grid)
-        disp = jax.image.resize(disp, (B, H + ph, W + pw),
-                                method="bilinear")[:, :H, :W]
+        outs, grid = DINOv2(width=self.width, layers=self.layers,
+                            heads=self.heads, patch=self.patch,
+                            out_layers=self.out_layers,
+                            native_grid=self.native_grid,
+                            dtype=self.dtype, name="backbone")(x)
+        disp = DPTNeckHead(fusion=self.fusion, head_hidden=self.head_hidden,
+                           neck_channels=self.neck_channels, patch=self.patch,
+                           dtype=self.dtype, name="head")(outs, grid)
+        if disp.shape[1:] != (H, W):
+            disp = jax.image.resize(
+                disp, (B, H + ph, W + pw), method="bilinear")[:, :H, :W]
+        if not normalize:
+            return disp[:, None]
         # per-image min-max normalization to [0, 1]
         lo = disp.min(axis=(1, 2), keepdims=True)
         hi = disp.max(axis=(1, 2), keepdims=True)
@@ -177,7 +267,13 @@ def make_depth_fn(key: jax.Array | None = None,
         key = jax.random.PRNGKey(0)
     params = model.init(key, jnp.zeros((1, 3, 56, 56)))
     if weights_path:
-        params = load_torch_da2_weights(weights_path, params)
+        from ..checkpoint import load_torch_state_dict
+
+        sd = load_torch_state_dict(weights_path)
+        params, unmapped = load_hf_da2_weights(sd, params)
+        if unmapped:
+            raise KeyError(f"unmapped DepthAnything tensors: {unmapped[:10]} "
+                           f"(+{max(0, len(unmapped) - 10)} more)")
 
     def depth_fn(images):
         B, N = images.shape[:2]
@@ -188,46 +284,103 @@ def make_depth_fn(key: jax.Array | None = None,
     return depth_fn
 
 
-def load_torch_da2_weights(path: str, params):
-    """Convert the published DepthAnything-V2-Small torch checkpoint.
+def load_hf_da2_weights(sd: dict, params):
+    """Convert a transformers ``DepthAnythingForDepthEstimation`` state dict
+    into the flax tree. Returns ``(params, unmapped_keys)`` (loud, not
+    silent). Verified numerically in ``tests/test_reference_parity.py``."""
+    from ..checkpoint import t_conv, t_linear
 
-    Key mapping: ``pretrained.blocks.<i>.*`` -> backbone blocks,
-    ``depth_head.*`` -> DPT head. Raises KeyError listing any unmapped
-    tensors so conversion gaps are loud, not silent.
-    """
-    from ..checkpoint import load_torch_state_dict, t_conv, t_linear
-
-    sd = load_torch_state_dict(path)
     p = jax.tree.map(np.asarray, params)
-    bb = p["params"]["backbone"]
-    direct = {
-        "pretrained.cls_token": ("cls_token", None),
-        "pretrained.pos_embed": ("pos_embed", None),
-    }
-    for tk, (ours, tf) in direct.items():
-        if tk in sd:
-            bb[ours] = sd[tk].reshape(bb[ours].shape)
-    if "pretrained.patch_embed.proj.weight" in sd:
-        bb["patch_embed"]["kernel"] = t_conv(
-            sd["pretrained.patch_embed.proj.weight"])
-        bb["patch_embed"]["bias"] = sd["pretrained.patch_embed.proj.bias"]
-    for i in range(LAYERS):
-        src = f"pretrained.blocks.{i}"
-        dst = bb.get(f"block_{i}")
-        if dst is None or f"{src}.attn.qkv.weight" not in sd:
-            continue
-        dst["qkv"]["kernel"] = t_linear(sd[f"{src}.attn.qkv.weight"])
-        dst["qkv"]["bias"] = sd[f"{src}.attn.qkv.bias"]
-        dst["proj"]["kernel"] = t_linear(sd[f"{src}.attn.proj.weight"])
-        dst["proj"]["bias"] = sd[f"{src}.attn.proj.bias"]
-        dst["norm1"]["scale"] = sd[f"{src}.norm1.weight"]
-        dst["norm1"]["bias"] = sd[f"{src}.norm1.bias"]
-        dst["norm2"]["scale"] = sd[f"{src}.norm2.weight"]
-        dst["norm2"]["bias"] = sd[f"{src}.norm2.bias"]
-        dst["mlp_fc1"]["kernel"] = t_linear(sd[f"{src}.mlp.fc1.weight"])
-        dst["mlp_fc1"]["bias"] = sd[f"{src}.mlp.fc1.bias"]
-        dst["mlp_fc2"]["kernel"] = t_linear(sd[f"{src}.mlp.fc2.weight"])
-        dst["mlp_fc2"]["bias"] = sd[f"{src}.mlp.fc2.bias"]
-        dst["ls1"] = sd[f"{src}.ls1.gamma"]
-        dst["ls2"] = sd[f"{src}.ls2.gamma"]
-    return jax.tree.map(jnp.asarray, p)
+    root = p["params"]
+    bb = root["backbone"]
+    head = root["head"]
+    used = set()
+
+    def take(k):
+        used.add(k)
+        return sd[k]
+
+    emb = "backbone.embeddings"
+    bb["cls_token"] = take(f"{emb}.cls_token").reshape(bb["cls_token"].shape)
+    bb["pos_embed"] = take(f"{emb}.position_embeddings").reshape(
+        bb["pos_embed"].shape)
+    bb["patch_embed"]["kernel"] = t_conv(
+        take(f"{emb}.patch_embeddings.projection.weight"))
+    bb["patch_embed"]["bias"] = take(f"{emb}.patch_embeddings.projection.bias")
+    sd.get(f"{emb}.mask_token") is not None and used.add(f"{emb}.mask_token")
+
+    n_layers = sum(1 for k in bb if k.startswith("block_"))
+    for i in range(n_layers):
+        src = f"backbone.encoder.layer.{i}"
+        dst = bb[f"block_{i}"]
+        qw = take(f"{src}.attention.attention.query.weight")
+        kw = take(f"{src}.attention.attention.key.weight")
+        vw = take(f"{src}.attention.attention.value.weight")
+        dst["qkv"]["kernel"] = t_linear(np.concatenate([qw, kw, vw], 0))
+        dst["qkv"]["bias"] = np.concatenate([
+            take(f"{src}.attention.attention.query.bias"),
+            take(f"{src}.attention.attention.key.bias"),
+            take(f"{src}.attention.attention.value.bias")])
+        dst["proj"]["kernel"] = t_linear(
+            take(f"{src}.attention.output.dense.weight"))
+        dst["proj"]["bias"] = take(f"{src}.attention.output.dense.bias")
+        dst["norm1"]["scale"] = take(f"{src}.norm1.weight")
+        dst["norm1"]["bias"] = take(f"{src}.norm1.bias")
+        dst["norm2"]["scale"] = take(f"{src}.norm2.weight")
+        dst["norm2"]["bias"] = take(f"{src}.norm2.bias")
+        dst["mlp_fc1"]["kernel"] = t_linear(take(f"{src}.mlp.fc1.weight"))
+        dst["mlp_fc1"]["bias"] = take(f"{src}.mlp.fc1.bias")
+        dst["mlp_fc2"]["kernel"] = t_linear(take(f"{src}.mlp.fc2.weight"))
+        dst["mlp_fc2"]["bias"] = take(f"{src}.mlp.fc2.bias")
+        dst["ls1"] = take(f"{src}.layer_scale1.lambda1")
+        dst["ls2"] = take(f"{src}.layer_scale2.lambda1")
+
+    bb["norm"]["scale"] = take("backbone.layernorm.weight")
+    bb["norm"]["bias"] = take("backbone.layernorm.bias")
+
+    n_levels = sum(1 for k in head if k.startswith("reassemble_"))
+    for i in range(n_levels):
+        src = f"neck.reassemble_stage.layers.{i}"
+        dst = head[f"reassemble_{i}"]
+        dst["projection"]["kernel"] = t_conv(take(f"{src}.projection.weight"))
+        dst["projection"]["bias"] = take(f"{src}.projection.bias")
+        if f"{src}.resize.weight" in sd:
+            w = take(f"{src}.resize.weight")
+            if w.shape[2] == w.shape[3] and w.shape[2] in (2, 4):
+                # ConvTranspose2d weight (ct_in, ct_out, kh, kw): flax
+                # transpose_kernel=True takes the forward-conv layout of the
+                # conv it is the gradient of -> (kh, kw, ct_out, ct_in)
+                dst["resize"]["kernel"] = np.transpose(w, (2, 3, 1, 0))
+            else:  # factor < 1: plain strided Conv2d
+                dst["resize"]["kernel"] = t_conv(w)
+            dst["resize"]["bias"] = take(f"{src}.resize.bias")
+        head[f"conv_{i}"]["kernel"] = t_conv(
+            take(f"neck.convs.{i}.weight"))
+        fsrc = f"neck.fusion_stage.layers.{n_levels - 1 - i}"
+        fdst_prefix = f"fusion_{i}"
+        head[f"{fdst_prefix}_projection"]["kernel"] = t_conv(
+            take(f"{fsrc}.projection.weight"))
+        head[f"{fdst_prefix}_projection"]["bias"] = take(
+            f"{fsrc}.projection.bias")
+        for rcu, tname in (("rcu1", "residual_layer1"),
+                           ("rcu2", "residual_layer2")):
+            key = f"{fdst_prefix}_{rcu}"
+            if key not in head:
+                used.update(k for k in sd if k.startswith(f"{fsrc}.{tname}."))
+                continue
+            for cj in (1, 2):
+                head[key][f"conv{cj}"]["kernel"] = t_conv(
+                    take(f"{fsrc}.{tname}.convolution{cj}.weight"))
+                head[key][f"conv{cj}"]["bias"] = take(
+                    f"{fsrc}.{tname}.convolution{cj}.bias")
+
+    head["head_conv1"]["kernel"] = t_conv(take("head.conv1.weight"))
+    head["head_conv1"]["bias"] = take("head.conv1.bias")
+    head["head_conv2"]["kernel"] = t_conv(take("head.conv2.weight"))
+    head["head_conv2"]["bias"] = take("head.conv2.bias")
+    head["head_conv3"]["kernel"] = t_conv(take("head.conv3.weight"))
+    head["head_conv3"]["bias"] = take("head.conv3.bias")
+
+    unmapped = [k for k in sd if k not in used
+                and "mask_token" not in k and "position_ids" not in k]
+    return jax.tree.map(jnp.asarray, p), unmapped

@@ -8,6 +8,14 @@ models (bf16) fill a 16 GB v5e at one scene per chip, so use
 ``--batch_size == num_chips`` (batch 1 on a single chip; the single-scene
 latency benchmark is ``bench.py``).
 
+Cold start: the first batch pays init + XLA compile once per process
+(~minutes for the flagship); the serving model is "keep the process warm" —
+JAX's persistent compilation cache is NOT usable on the tunneled axon
+backend (its executable-serialization path stalls: a toy 12-matmul jit that
+compiles in seconds hung >9.5 min with ``jax_compilation_cache_dir`` set;
+re-confirmed round 2). On directly-attached TPU hosts enable the cache via
+``JAX_COMPILATION_CACHE_DIR`` and cold start drops to checkpoint-load time.
+
 Usage:
     python serve.py --prompt_file prompts.txt --batch_size 8 [--small]
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \

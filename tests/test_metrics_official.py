@@ -1,0 +1,113 @@
+"""Official-asset metric paths (VERDICT round-1 missing #7): libsvm SVR
+parsing/prediction for BRISQUE, pristine-MVG NIQE from a .mat file, and the
+compute_all-style aggregation tool."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from prometheus_tpu.metrics import (
+    brisque,
+    load_feature_range,
+    load_svr_model,
+    niqe,
+    niqe_features_patches,
+    svr_predict,
+)
+
+SVR_MODEL = """svm_type epsilon_svr
+kernel_type rbf
+gamma 0.05
+nr_class 2
+total_sv 2
+rho -1.5
+SV
+0.7 1:0.5 2:-0.25 3:1.0
+-0.3 1:-1.0 2:0.75 3:0.0
+"""
+
+RANGE_FILE = """x
+-1 1
+1 0 10
+2 -5 5
+3 0 2
+"""
+
+
+def test_svr_parse_and_predict(tmp_path):
+    path = os.path.join(tmp_path, "allmodel")
+    open(path, "w").write(SVR_MODEL)
+    model = load_svr_model(path)
+    assert model["sv"].shape == (2, 3)
+    x = np.asarray([0.2, 0.1, 0.5])
+    # manual RBF-SVR decision value
+    k = np.exp(-0.05 * np.sum((model["sv"] - x) ** 2, axis=1))
+    want = 0.7 * k[0] - 0.3 * k[1] - (-1.5)
+    assert abs(svr_predict(model, x) - want) < 1e-12
+
+    rpath = os.path.join(tmp_path, "allrange")
+    open(rpath, "w").write(RANGE_FILE)
+    lo, hi = load_feature_range(rpath)
+    np.testing.assert_allclose(lo, [0, -5, 0])
+    np.testing.assert_allclose(hi, [10, 5, 2])
+
+
+def test_brisque_with_svr(tmp_path, rng):
+    path = os.path.join(tmp_path, "allmodel")
+    # a 36-feature model: one SV at zero
+    sv = " ".join(f"{i+1}:0.0" for i in range(36))
+    open(path, "w").write(
+        "svm_type epsilon_svr\nkernel_type rbf\ngamma 0.01\nrho 0.5\nSV\n"
+        f"1.0 {sv}\n")
+    img = rng.random((64, 64, 3)).astype(np.float32)
+    score = brisque(img, svr_params=path)
+    assert np.isfinite(score)
+
+
+def test_niqe_with_official_mat(tmp_path, rng):
+    from scipy.io import savemat
+
+    # pristine MVG from a small synthetic population of natural-ish images
+    pop = []
+    for i in range(4):
+        base = rng.random((96, 96)) * 255
+        pop.append(niqe_features_patches(base, patch=48))
+    pop = np.concatenate(pop, 0)
+    mu = pop.mean(0)
+    cov = np.cov(pop, rowvar=False) + 1e-3 * np.eye(36)
+    mat = os.path.join(tmp_path, "niqe_image_params.mat")
+    savemat(mat, {"pop_mu": mu, "pop_cov": cov})
+
+    sharp = rng.random((128, 128)).astype(np.float32)
+    flat = np.full((128, 128), 0.5, np.float32)
+    s_sharp = niqe(sharp, model_params=mat)
+    s_flat = niqe(flat, model_params=mat)
+    assert np.isfinite(s_sharp) and np.isfinite(s_flat)
+    # a flat image deviates more from the NSS population than noise does
+    assert s_flat > s_sharp
+
+
+def test_compute_metrics_tool(tmp_path, rng):
+    from PIL import Image
+
+    gal = os.path.join(tmp_path, "gallery")
+    for prompt in ("a_red_cube", "a_blue_ball"):
+        d = os.path.join(gal, prompt)
+        os.makedirs(d)
+        for v in range(2):
+            Image.fromarray(
+                (rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(
+                os.path.join(d, f"view_{v:02d}.png"))
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "compute_metrics.py")
+    out = subprocess.run(
+        [sys.executable, tool, "--input_dir", gal, "--method", "prometheus"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    metrics = json.load(open(os.path.join(gal, "all_metric.json")))
+    assert metrics["metrics_are_proxies"] is True
+    assert len(metrics["per_prompt"]) == 2
+    assert np.isfinite(metrics["average_niqe"])

@@ -435,6 +435,51 @@ def test_trajdit_parity():
 
 
 # ---------------------------------------------------------------------------
+# DepthAnything-V2 (real transformers — the teacher the reference loads via
+# AutoModelForDepthEstimation, base_system.py:164)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_depth_anything_parity():
+    transformers = pytest.importorskip("transformers")
+    from prometheus_tpu.models.depth_anything import (DepthAnythingV2,
+                                                      load_hf_da2_weights)
+
+    bb_cfg = transformers.Dinov2Config(
+        hidden_size=64, num_hidden_layers=4, num_attention_heads=2,
+        intermediate_size=256, patch_size=14, image_size=56,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+        apply_layernorm=True, reshape_hidden_states=False)
+    cfg = transformers.DepthAnythingConfig(
+        backbone_config=bb_cfg, fusion_hidden_size=16, head_hidden_size=8,
+        neck_hidden_sizes=[8, 16, 32, 64], reassemble_hidden_size=64,
+        reassemble_factors=[4, 2, 1, 0.5], patch_size=14,
+        depth_estimation_type="relative")
+    ref = transformers.DepthAnythingForDepthEstimation(cfg).eval()
+    randomize_(ref, seed=7, scale=0.1)
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(-1, 1, (2, 3, 56, 56)).astype(np.float32)
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)[None, :, None, None]
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)[None, :, None, None]
+    pix = ((img + 1) / 2 - mean) / std  # reference get_depth_gt preprocessing
+    with torch.no_grad():
+        depth_ref = ref(pixel_values=torch.from_numpy(pix)
+                        ).predicted_depth.numpy()
+
+    flax_da = DepthAnythingV2(width=64, layers=4, heads=2, patch=14,
+                              out_layers=(0, 1, 2, 3), native_grid=4,
+                              fusion=16, head_hidden=8,
+                              neck_channels=(8, 16, 32, 64))
+    v = flax_da.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 56, 56)))
+    params, unmapped = load_hf_da2_weights(to_np_sd(ref), v)
+    assert unmapped == [], unmapped
+
+    disp = flax_da.apply(params, jnp.asarray(img), normalize=False)
+    assert scaled_err(np.asarray(disp)[:, 0], depth_ref) < 2e-3
+
+
+# ---------------------------------------------------------------------------
 # CLIP text tower (real transformers, SD-2.1-style config)
 # ---------------------------------------------------------------------------
 
