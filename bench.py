@@ -280,7 +280,7 @@ def main():
             gaussians[0][0], gaussians[3][0], gaussians[4][0], w2c,
             fx, fy, cx, cy)
         stats = tile_overflow_stats(proj, 16, render_size // 16,
-                                    render_size // 16, (4, 4))
+                                    render_size // 16, (8, 8))
         overflow = {k: int(v) for k, v in stats.items()}
     except Exception as e:
         _log(f"bench: overflow stats failed ({e})")

@@ -38,6 +38,7 @@ from .naive import ALPHA_CUTOFF, MAX_ALPHA
 from .pallas_kernel import (
     CHUNK,
     N_CH,
+    _PREC,
     _CH_CA,
     _CH_CB,
     _CH_CC,
@@ -53,16 +54,21 @@ from .pallas_kernel import (
 from .projection import Projected
 
 
-def _bwd_kernel(data_ref, gout_ref, gdata_ref, *,
+def _bwd_kernel(counts_ref, data_ref, gout_ref, gdata_ref, *,
                 tile_size, grid_w, capacity):
     """grads wrt the packed tile data.
 
     blocks: data (1, 16, K); gout (1, 8, P) upstream grads packed as rows
     [gC r, g, b, gZ, gA, 0, 0, 0]; out gdata (1, 16, K) with the same channel
     rows as data (mean2d, conic, color, opacity, depth; pad rows zero).
+    Chunk loops are bounded by the tile's real instance count
+    (scalar-prefetched ``counts``); untouched worklist slots get zero grads.
     """
     p = tile_size * tile_size
     t = pl.program_id(0)
+    # the while loops below skip dead chunks -> zero the whole grad block
+    gdata_ref[0] = jnp.zeros((gdata_ref.shape[1], gdata_ref.shape[2]),
+                             jnp.float32)
     x0 = (t % grid_w) * tile_size
     y0 = (t // grid_w) * tile_size
 
@@ -75,7 +81,7 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *,
     l_strict = (row_i < col_j).astype(jnp.float32)   # exclusive prefix (fwd)
     u_strict = (row_i > col_j).astype(jnp.float32)   # exclusive suffix (bwd)
 
-    n_chunks = capacity // CHUNK
+    n_chunks = (counts_ref[t] + CHUNK - 1) // CHUNK
 
     def alphas_of(k):
         blk = data_ref[0, :, pl.ds(k * CHUNK, CHUNK)]
@@ -114,17 +120,17 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *,
         logs = jnp.log1p(-alpha)
         chunk_total = jnp.sum(logs, axis=1, keepdims=True)
         log_t_start = log_t_after - chunk_total
-        cum = jnp.dot(logs, l_strict, preferred_element_type=jnp.float32)
+        cum = jnp.dot(logs, l_strict, preferred_element_type=jnp.float32, precision=_PREC)
         t_in = jnp.exp(cum + log_t_start)                   # T_i  (P, C)
         w = alpha * t_in
         # value-dot-grad per (pixel, instance)
         cd = jnp.concatenate([blk[_CH_R:_CH_R + 3], blk[_CH_Z:_CH_Z + 1]], 0)
         g_cz = jnp.concatenate([g_rgb, g_z], 1)             # (P, 4)
-        u = jnp.dot(g_cz, cd, preferred_element_type=jnp.float32) + g_a
+        u = jnp.dot(g_cz, cd, preferred_element_type=jnp.float32, precision=_PREC) + g_a
         uw = u * w
         # suffix over later instances: within-chunk upper-tri + carry
         suffix = jnp.dot(uw, u_strict,
-                         preferred_element_type=jnp.float32) + suffix_carry
+                         preferred_element_type=jnp.float32, precision=_PREC) + suffix_carry
         one_m = jnp.maximum(1.0 - alpha, 1e-3)  # alpha clamped at 0.999
         d_alpha = u * t_in - suffix / one_m
         d_alpha = jnp.where(live, d_alpha, 0.0)
@@ -145,8 +151,8 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *,
         d_ca = jnp.sum(d_sigma * 0.5 * dx * dx, axis=0)
         d_cb = jnp.sum(d_sigma * dx * dy, axis=0)
         d_cc = jnp.sum(d_sigma * 0.5 * dy * dy, axis=0)
-        d_col = jnp.dot(g_rgb.T, w, preferred_element_type=jnp.float32)  # (3, C)
-        d_z = jnp.dot(g_z.T, w, preferred_element_type=jnp.float32)      # (1, C)
+        d_col = jnp.dot(g_rgb.T, w, preferred_element_type=jnp.float32, precision=_PREC)  # (3, C)
+        d_z = jnp.dot(g_z.T, w, preferred_element_type=jnp.float32, precision=_PREC)      # (1, C)
 
         grads = jnp.concatenate([
             d_meanx[None, :], d_meany[None, :],
@@ -162,7 +168,7 @@ def _bwd_kernel(data_ref, gout_ref, gdata_ref, *,
                       (jnp.zeros((p, 1), jnp.float32), log_t_final))
 
 
-def _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
+def _pallas_backward(data, gout, counts, img_h, img_w, tile_size, capacity,
                      interpret=False):
     grid_h, grid_w = img_h // tile_size, img_w // tile_size
     n_tiles = grid_h * grid_w
@@ -170,20 +176,21 @@ def _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
     return pl.pallas_call(
         partial(_bwd_kernel, tile_size=tile_size, grid_w=grid_w,
                 capacity=capacity),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, N_CH, capacity), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, p), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, N_CH, capacity), lambda t: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, N_CH, capacity), lambda t, c: (t, 0, 0)),
+                pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, N_CH, capacity),
+                                   lambda t, c: (t, 0, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, N_CH, capacity), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(data, gout)
+    )(counts, data, gout)
 
 
 # ---------------------------------------------------------------------------
@@ -209,17 +216,17 @@ def _fwd(mean2d, conic, depth, radius, validf, colors, opacities, img_h,
     outputs as residuals so the backward never re-sorts or re-gathers
     (the binning sort dominates the stage at production density)."""
     proj = Projected(mean2d, conic, depth, radius, validf > 0.5)
-    idx, in_seg = sorted_tile_segments(proj, img_h, img_w, tile_size,
-                                       capacity, max_tiles)
+    idx, in_seg, counts = sorted_tile_segments(proj, img_h, img_w, tile_size,
+                                               capacity, max_tiles)
     data = gather_rows(proj, colors, opacities, idx, in_seg)
-    rgb, dep, acc_a = run_compositor_kernel(data, img_h, img_w, tile_size,
-                                            capacity, interpret)
+    rgb, dep, acc_a = run_compositor_kernel(data, counts, img_h, img_w,
+                                            tile_size, capacity, interpret)
     # mean2d rides along only as the (static) gaussian-count shape carrier
-    return (rgb, dep, acc_a), (data, idx, in_seg, dep, acc_a, mean2d)
+    return (rgb, dep, acc_a), (data, idx, in_seg, counts, dep, acc_a, mean2d)
 
 
 def _bwd(img_h, img_w, tile_size, capacity, max_tiles, interpret, res, gouts):
-    data, idx, in_seg, dep, acc_a, mean2d = res
+    data, idx, in_seg, counts, dep, acc_a, mean2d = res
     n = mean2d.shape[0]
     g_rgb, g_dep, g_alpha = gouts
     grid_h, grid_w = img_h // tile_size, img_w // tile_size
@@ -243,8 +250,8 @@ def _bwd(img_h, img_w, tile_size, capacity, max_tiles, interpret, res, gouts):
         jnp.zeros((grid_h * grid_w, 3, p), jnp.float32),
     ], axis=1)
 
-    gdata = _pallas_backward(data, gout, img_h, img_w, tile_size, capacity,
-                             interpret=interpret)
+    gdata = _pallas_backward(data, gout, counts, img_h, img_w, tile_size,
+                             capacity, interpret=interpret)
 
     flat_idx = idx.reshape(-1)
     mask = in_seg.reshape(-1)[:, None]

@@ -68,12 +68,22 @@ def render_gaussians(
     bg_color=None,       # (3,) in [0,1]; None -> white
     tile_size: int = 16,
     tile_capacity: int = 1024,
-    max_tiles: tuple = (4, 4),
+    # big-path window of the hierarchical binning (tiled._tile_instances):
+    # splats spanning up to 8x8 tiles composite exactly, at 4+overhead
+    # instances per gaussian instead of a dense 16x
+    max_tiles: tuple = (8, 8),
     near: float = 0.01,
-    backend: str = "xla",   # 'xla' | 'pallas' (both differentiable)
+    backend: str = "auto",  # 'auto' | 'xla' | 'pallas' (both differentiable)
 ):
     """Returns ``(images (B,N,3,h,w) in [-1,1], depths (B,N,1,h,w),
-    masks (B,N,1,h,w))`` — the reference renderer's output contract."""
+    masks (B,N,1,h,w))`` — the reference renderer's output contract.
+
+    ``backend='auto'`` resolves (at trace time) to the Pallas fwd+bwd
+    kernels on TPU — ~5x the XLA compositor at production density — and to
+    the XLA path elsewhere (the Pallas kernels only lower for TPU).
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     xyz, features, opacity, scales, rotations = gaussians
     colors = features[:, :, 0, :]      # (B, P, 3), sh-degree 0 = direct RGB
     opac = opacity[..., 0]             # (B, P)

@@ -32,57 +32,119 @@ from .naive import ALPHA_CUTOFF, MAX_ALPHA
 from .projection import Projected
 
 
-def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
-                    max_tiles: tuple[int, int]):
-    """Expand gaussians into (tile_id, depth, gaussian_idx) instances.
-
-    ``max_tiles = (ty_cap, tx_cap)``: static per-gaussian cap on covered
-    tiles. Gaussians covering more tiles are truncated to the
-    ``ty_cap x tx_cap`` window anchored at their bbox top-left (rare for
-    pixel-aligned gaussians; raise the cap for scenes with huge splats).
-    Returns flat arrays of length N * ty_cap * tx_cap; invalid instances get
-    tile_id = grid_w * grid_h (sorted to the end).
-    """
-    n = proj.mean2d.shape[0]
-    ty_cap, tx_cap = max_tiles
+def _tile_bbox(proj: Projected, tile_size: int, grid_w: int, grid_h: int):
+    """Per-gaussian covered-tile bbox ``(x0, x1, y0, y1)`` (inclusive)."""
     x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - proj.radius) / tile_size), 0, grid_w - 1).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + proj.radius) / tile_size), 0, grid_w - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - proj.radius) / tile_size), 0, grid_h - 1).astype(jnp.int32)
     y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + proj.radius) / tile_size), 0, grid_h - 1).astype(jnp.int32)
+    return x0, x1, y0, y1
 
-    # flat (N*cap,) index math — tiny (N, ty_cap, tx_cap) trailing dims pad
-    # terribly onto the (8, 128) TPU vector lanes; one long lane-aligned
-    # vector runs ~4x faster at production density
-    cap = ty_cap * tx_cap
-    rep = lambda a: jnp.repeat(a, cap, total_repeat_length=n * cap)
-    dy = jnp.tile(
-        jnp.repeat(jnp.arange(ty_cap, dtype=jnp.int32), tx_cap), n)
-    dx = jnp.tile(jnp.tile(jnp.arange(tx_cap, dtype=jnp.int32), ty_cap), n)
-    ty = rep(y0) + dy
-    tx = rep(x0) + dx
-    ok = rep(proj.valid) & (ty <= rep(y1)) & (tx <= rep(x1))
-    tile_id = jnp.where(ok, ty * grid_w + tx, grid_w * grid_h)
-    gauss_idx = rep(jnp.arange(n, dtype=jnp.int32))
-    return tile_id, rep(proj.depth), gauss_idx
+
+def _expand_window(x0, x1, y0, y1, valid, depth, gauss_idx, window,
+                   grid_w, grid_h):
+    """Broadcast-expand a ``window=(wy, wx)`` tile neighborhood anchored at
+    each gaussian's bbox top-left into flat (tile_id, depth, idx) instances.
+
+    Broadcast (N, wy, wx)-then-flatten is the fast layout: an interleaved
+    flat ``jnp.repeat`` was tried and is ~45x SLOWER on v5e at 8.4M
+    instances (943 ms vs 21 ms, measured with a real device-fetch sync)
+    because each output element becomes a gathered computed-index read,
+    while the broadcast form is pure lane-replication.
+    """
+    wy, wx = window
+    dy = jnp.arange(wy, dtype=jnp.int32)
+    dx = jnp.arange(wx, dtype=jnp.int32)
+    ty = y0[:, None, None] + dy[None, :, None]   # (N, wy, 1)
+    tx = x0[:, None, None] + dx[None, None, :]   # (N, 1, wx)
+    ok = (
+        valid[:, None, None]
+        & (ty <= y1[:, None, None])
+        & (tx <= x1[:, None, None])
+    )
+    tile_id = jnp.where(ok, ty * grid_w + tx, grid_w * grid_h).astype(jnp.int32)
+    idx = jnp.broadcast_to(gauss_idx[:, None, None], tile_id.shape)
+    dep = jnp.broadcast_to(depth[:, None, None], tile_id.shape)
+    return tile_id.reshape(-1), dep.reshape(-1), idx.reshape(-1)
+
+
+def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
+                    max_tiles: tuple[int, int], big_cap: int = 4096):
+    """Expand gaussians into (tile_id, depth, gaussian_idx) instances.
+
+    Hierarchical two-level expansion (the static-shape TPU answer to the
+    CUDA rasterizer's exact per-gaussian worklists):
+
+    - **small path**: every gaussian gets a 2x2 tile window anchored at its
+      bbox top-left. Pixel-aligned gaussians (bbox <= one tile span) are
+      covered exactly; this is 4 instances/gaussian instead of a
+      ``ty_cap*tx_cap`` blow-up, which dominates the binning sort cost.
+    - **big path**: the (rare) gaussians covering more than 2 tiles in
+      either dim are selected (one N-length sort) into a ``big_cap`` static
+      budget and expanded over the full ``max_tiles`` window; big gaussians
+      beyond the budget fall back to their truncated 2x2 window.
+
+    ``max_tiles = (ty_cap, tx_cap)`` is the big-path window. When it is
+    <= (2, 2) only the single-level small path runs (window = max_tiles).
+    Returns flat arrays of length ``N*4 + big_cap*ty_cap*tx_cap``; invalid
+    instances get tile_id = grid_w * grid_h (sorted to the end).
+    """
+    n = proj.mean2d.shape[0]
+    ty_cap, tx_cap = max_tiles
+    x0, x1, y0, y1 = _tile_bbox(proj, tile_size, grid_w, grid_h)
+    gauss_idx = jnp.arange(n, dtype=jnp.int32)
+
+    if ty_cap <= 2 and tx_cap <= 2:
+        return _expand_window(x0, x1, y0, y1, proj.valid, proj.depth,
+                              gauss_idx, (ty_cap, tx_cap), grid_w, grid_h)
+
+    big_cap = min(big_cap, n)
+    is_big = proj.valid & ((y1 - y0 >= 2) | (x1 - x0 >= 2))
+    rank = jnp.cumsum(is_big.astype(jnp.int32)) - is_big.astype(jnp.int32)
+    selected = is_big & (rank < big_cap)
+
+    # small path: everything except the big-selected (budget-overflow big
+    # gaussians stay here with a truncated 2x2 window rather than vanishing)
+    tid_s, dep_s, idx_s = _expand_window(
+        x0, x1, y0, y1, proj.valid & ~selected, proj.depth, gauss_idx,
+        (2, 2), grid_w, grid_h)
+
+    # big path: compact the selected indices with one N-length sort
+    # (scatter-free; XLA sort is the predictable primitive on TPU)
+    sel_key = jnp.where(selected, rank, jnp.int32(n + 1))
+    _, sel_idx = jax.lax.sort((sel_key, gauss_idx), num_keys=1)
+    sel_idx = sel_idx[:big_cap]
+    sel_ok = jnp.arange(big_cap, dtype=jnp.int32) \
+        < jnp.sum(selected.astype(jnp.int32))
+    tid_b, dep_b, idx_b = _expand_window(
+        x0[sel_idx], x1[sel_idx], y0[sel_idx], y1[sel_idx], sel_ok,
+        proj.depth[sel_idx], sel_idx, (ty_cap, tx_cap), grid_w, grid_h)
+
+    return (jnp.concatenate([tid_s, tid_b]),
+            jnp.concatenate([dep_s, dep_b]),
+            jnp.concatenate([idx_s, idx_b]))
 
 
 def tile_overflow_stats(proj: Projected, tile_size: int, grid_w: int,
-                        grid_h: int, max_tiles: tuple[int, int]):
-    """Diagnostics for the static per-gaussian tile cap: how many valid
-    gaussians cover more tiles than ``max_tiles`` keeps (their far instances
-    are silently dropped), and the max cover observed. Cheap; run it at
-    production density when choosing ``max_tiles``/``tile_capacity``."""
-    x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - proj.radius) / tile_size), 0, grid_w - 1)
-    x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + proj.radius) / tile_size), 0, grid_w - 1)
-    y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - proj.radius) / tile_size), 0, grid_h - 1)
-    y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + proj.radius) / tile_size), 0, grid_h - 1)
+                        grid_h: int, max_tiles: tuple[int, int],
+                        big_cap: int = 4096):
+    """Diagnostics for the hierarchical binning's static caps: how many
+    valid gaussians cover more tiles than the big-path ``max_tiles`` window
+    keeps (their far instances are dropped), how many big gaussians exceed
+    the ``big_cap`` budget (they fall back to a truncated 2x2 window), and
+    the max cover observed. Cheap; run it at production density when
+    choosing ``max_tiles``/``big_cap``/``tile_capacity``."""
+    x0, x1, y0, y1 = _tile_bbox(proj, tile_size, grid_w, grid_h)
     nx = (x1 - x0 + 1).astype(jnp.int32)
     ny = (y1 - y0 + 1).astype(jnp.int32)
     valid = proj.valid
     over = valid & ((ny > max_tiles[0]) | (nx > max_tiles[1]))
+    n_big = jnp.sum((valid & ((ny > 2) | (nx > 2))).astype(jnp.int32))
     return {
         "n_valid": jnp.sum(valid.astype(jnp.int32)),
         "n_truncated": jnp.sum(over.astype(jnp.int32)),
+        "n_big": n_big,
+        "n_big_over_budget": jnp.maximum(n_big - big_cap, 0),
         "max_cover_y": jnp.max(jnp.where(valid, ny, 0)),
         "max_cover_x": jnp.max(jnp.where(valid, nx, 0)),
     }

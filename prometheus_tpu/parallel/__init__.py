@@ -3,9 +3,12 @@ from .mesh import (
     data_sharding,
     fsdp_param_spec,
     is_main_process,
+    local_batch_size,
+    make_hybrid_mesh,
     make_mesh,
     replicated,
     shard_batch,
+    shard_batch_per_host,
     shard_params,
 )
 from .train_step import TrainState, init_train_state, make_optimizer, make_train_step

@@ -27,8 +27,45 @@ def make_mesh(num_devices: int = -1, axes: tuple = ("data",),
     return Mesh(arr, axes)
 
 
+def make_hybrid_mesh(num_slices: int | None = None,
+                     axes: tuple = ("dcn", "data")) -> Mesh:
+    """Multi-slice (multi-node) mesh: outer ``dcn`` axis across slices,
+    inner ``data`` axis within a slice.
+
+    The TPU-native analog of the reference's ``NODE_SIZE`` multi-node DDP
+    (``/root/reference/train.py:87-92``): batches shard over BOTH axes
+    (every chip computes on distinct examples), while FSDP parameter/opt
+    shards stay on the intra-slice ``data`` axis — so per-layer all-gathers
+    ride ICI and only the once-per-step gradient reduction crosses DCN.
+
+    ``num_slices=None`` groups devices by their ``slice_index`` attribute
+    (1 on a single slice); pass an explicit count to simulate slices on a
+    virtual CPU mesh.
+    """
+    devices = jax.devices()
+    if num_slices is None:
+        slice_ids = sorted({getattr(d, "slice_index", 0) or 0
+                            for d in devices})
+        groups = [sorted((d for d in devices
+                          if (getattr(d, "slice_index", 0) or 0) == s),
+                         key=lambda d: d.id) for s in slice_ids]
+    else:
+        if len(devices) % num_slices:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by {num_slices} slices")
+        per = len(devices) // num_slices
+        groups = [devices[i * per:(i + 1) * per] for i in range(num_slices)]
+    sizes = {len(g) for g in groups}
+    if len(sizes) != 1:
+        raise ValueError(f"uneven slice sizes {sorted(sizes)}")
+    return Mesh(np.asarray(groups), axes)
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
+    """Shard the leading (batch) dim over the data axis (both axes of a
+    hybrid dcn x data mesh: every chip sees distinct examples)."""
+    if "dcn" in mesh.axis_names and axis == "data":
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P(axis))
 
 
@@ -68,6 +105,34 @@ def shard_params(params, mesh: Mesh, mode: str = "replicated",
         return jax.tree.map(
             lambda p: jax.device_put(p, fsdp_param_spec(p, mesh, axis)), params)
     raise ValueError(mode)
+
+
+def shard_batch_per_host(mesh: Mesh, local_batch, axis: str = "data"):
+    """Assemble a globally-sharded batch from PER-HOST local shards.
+
+    Multi-host semantics of the reference's DDP samplers: each host's data
+    loader reads only its slice of the global batch (disjoint shards), and
+    the global device array is assembled without any cross-host transfer of
+    example data. On a single process this equals ``shard_batch``.
+    """
+    s = data_sharding(mesh, axis)
+    nproc = jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(s, x, global_shape)
+
+    return jax.tree.map(put, local_batch)
+
+
+def local_batch_size(global_batch: int) -> int:
+    """Per-host slice of a global batch (hosts load disjoint shards)."""
+    nproc = jax.process_count()
+    if global_batch % nproc:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{nproc} hosts")
+    return global_batch // nproc
 
 
 def is_main_process() -> bool:

@@ -30,9 +30,11 @@ def project_scene(rng, h=64, w=64, f=60.0, n=300, scale=0.05):
 def test_bin_and_gather_layout(rng):
     h = w = 32
     proj, colors, opac = project_scene(rng, h=h, w=w, n=100)
-    data = bin_and_gather(proj, colors, opac, h, w, tile_size=16,
-                          capacity=128)
+    data, counts = bin_and_gather(proj, colors, opac, h, w, tile_size=16,
+                                  capacity=128)
     assert data.shape == (4, 16, 128)
+    assert counts.shape == (4,)
+    assert int(counts.max()) <= 128
     # opacities of padded slots are zero
     assert bool(jnp.isfinite(data).all())
 

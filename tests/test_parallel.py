@@ -104,3 +104,59 @@ def test_train_state_is_pytree():
     assert len(leaves) > 0
     state2 = jax.tree.map(lambda x: x, state)
     assert isinstance(state2, TrainState)
+
+
+def test_hybrid_mesh_layout():
+    from prometheus_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(num_slices=2)
+    assert mesh.shape["dcn"] == 2 and mesh.shape["data"] == 4
+    # single-slice fallback (CPU devices have no slice_index): one dcn group
+    auto = make_hybrid_mesh()
+    assert auto.shape["dcn"] == 1 and auto.shape["data"] == 8
+
+
+def test_hybrid_mesh_train_step_matches_flat(rng):
+    """DCN x ICI hybrid mesh: batch shards over both axes, FSDP params over
+    the intra-slice axis only; one step must match the flat-mesh result."""
+    from prometheus_tpu.parallel import make_hybrid_mesh
+
+    batch, _ = make_problem(rng, n=32, d=8)
+    params = {"w": jnp.ones((8, 1)) * 0.5}
+    tx = make_optimizer(learning_rate=0.05, weight_decay=0.0)
+    step = make_train_step(quad_loss, tx, donate=False)
+    key = jax.random.PRNGKey(1)
+
+    flat = make_mesh()
+    s_flat = init_train_state(
+        shard_params(params, flat, "replicated"), {}, tx)
+    s_flat, m_flat = step(s_flat, shard_batch(flat, batch), key)
+
+    hyb = make_hybrid_mesh(num_slices=2)
+    sharded = shard_batch(hyb, batch)
+    assert len(sharded["x"].sharding.device_set) == 8
+    p_hyb = {"w": jax.device_put(params["w"],
+                                 fsdp_param_spec(params["w"], hyb,
+                                                 min_size=1))}
+    # FSDP spec names only the intra-slice axis -> replicated across dcn
+    assert p_hyb["w"].sharding.spec == jax.sharding.PartitionSpec(
+        "data", None)
+    s_hyb = init_train_state(p_hyb, {}, tx)
+    s_hyb, m_hyb = step(s_hyb, sharded, key)
+
+    np.testing.assert_allclose(np.asarray(m_hyb["loss"]),
+                               np.asarray(m_flat["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_hyb.params["w"]),
+                               np.asarray(s_flat.params["w"]), atol=1e-5)
+
+
+def test_shard_batch_per_host_single_process(rng):
+    from prometheus_tpu.parallel import local_batch_size, shard_batch_per_host
+
+    assert local_batch_size(16) == 16  # one host in this suite
+    mesh = make_mesh()
+    batch = {"x": np.arange(16 * 4, dtype=np.float32).reshape(16, 4)}
+    global_arr = shard_batch_per_host(mesh, batch)["x"]
+    assert global_arr.shape == (16, 4)
+    assert len(global_arr.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(global_arr), batch["x"])
