@@ -154,8 +154,10 @@ def bench_train_step(pipe, *, batch_size=1, num_views=8):
             else "train"
 
     labels = jax.tree_util.tree_map_with_path(_label, params)
+    # bf16 first moment + donated state buffers: the flagship step fits the
+    # 16 GB v5e (fp32 moments + undonated state RESOURCE_EXHAUSTED it)
     tx = optax.multi_transform(
-        {"train": make_optimizer(learning_rate=1e-5),
+        {"train": make_optimizer(learning_rate=1e-5, mu_dtype=jnp.bfloat16),
          "frozen": optax.set_to_zero()}, labels)
     state = init_train_state(params, {}, tx)
 
@@ -163,7 +165,7 @@ def bench_train_step(pipe, *, batch_size=1, num_views=8):
         loss, metrics = system.multi_view_loss(p, k, batch)
         return loss, (metrics, ms)
 
-    step_fn = make_train_step(loss_fn, tx, donate=False)
+    step_fn = make_train_step(loss_fn, tx, donate=True)
 
     key = jax.random.PRNGKey(3)
     cams = jnp.tile(get_random_cameras(key, num_views, size=img)[None],
@@ -225,6 +227,15 @@ def main():
     pipe, init_s = build_flagship(small)
     image_size = pipe.mvldm.model.image_size
     _log(f"bench: init done in {init_s:.1f}s; warm-up (compiles)...")
+
+    if os.environ.get("BENCH_E2E", "1") == "0":
+        # train-step-only mode (debug/iteration): skip the e2e pipeline
+        _log("bench: BENCH_E2E=0 -> training-step benchmark only")
+        out = bench_train_step(pipe)
+        print(json.dumps({"metric": "train_step_s",
+                          "value": out["train_step_s"], "unit": "s",
+                          "vs_baseline": 0.0, "extra": out}))
+        return
 
     key = jax.random.PRNGKey(7)
     t0 = time.time()

@@ -43,13 +43,20 @@ jax.tree_util.register_pytree_node(
 
 def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-4,
                    betas=(0.9, 0.95), grad_clip: float = 1.0,
-                   lr_schedule: Callable | None = None):
+                   lr_schedule: Callable | None = None,
+                   mu_dtype=None):
     """AdamW matching the reference's optimizer config
-    (``base_system.py:153-159`` + trainer grad clip)."""
+    (``base_system.py:153-159`` + trainer grad clip).
+
+    ``mu_dtype=jnp.bfloat16`` halves the first-moment memory — the standard
+    TPU trade for fitting flagship-size towers on a 16 GB chip (the second
+    moment stays fp32; update quality is unaffected at these LRs).
+    """
     lr = lr_schedule if lr_schedule is not None else learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay),
+        optax.adamw(lr, b1=betas[0], b2=betas[1], weight_decay=weight_decay,
+                    mu_dtype=mu_dtype),
     )
     return tx
 

@@ -160,8 +160,13 @@ def main():
 
     cfg = load_config(args.config, overrides=args.override)
     tr = cfg.training
-    mesh = make_mesh()
-    n_dev = mesh.shape["data"]
+    # multi-slice (multi-node) topologies get a hybrid dcn x data mesh so
+    # FSDP all-gathers stay on ICI and only the once-per-step gradient
+    # reduction crosses DCN; single-slice (and the CPU test mesh) is flat
+    from prometheus_tpu.parallel import make_hybrid_mesh
+    n_slices = len({getattr(d, "slice_index", 0) or 0 for d in jax.devices()})
+    mesh = make_hybrid_mesh() if n_slices > 1 else make_mesh()
+    n_dev = mesh.devices.size
     key = jax.random.PRNGKey(cfg.get("seed", 0))
 
     mv_model, gs_model, traj_model = build_models(cfg, args)
@@ -326,9 +331,14 @@ def main():
         ds_cfg = cfg.dataset
         dataset = build_dataset(dict(ds_cfg.train),
                                 common_kwargs_from_group(dict(ds_cfg)))
-        loader = DataLoader(dataset, batch_size=B,
+        # multi-host: each host's loader reads only its disjoint shard of
+        # the global batch (reference DDP-sampler semantics); the global
+        # device batch is assembled by shard_batch_per_host below
+        from prometheus_tpu.parallel import local_batch_size
+        loader = DataLoader(dataset, batch_size=local_batch_size(B),
                             num_workers=int(tr.get("num_workers", 4)),
-                            seed=int(cfg.get("seed", 0)))
+                            seed=int(cfg.get("seed", 0))
+                            + jax.process_index())
         tokenizer = CLIPTokenizer(cfg.get("bpe_vocab"))
         if args.depth_teacher == "da2":
             if not cfg.get("depth_weights"):
@@ -432,13 +442,14 @@ def main():
     for step in range(int(state.step), max_steps):
         key, k_batch, k_step = jax.random.split(key, 3)
         if loader_iter is not None:
-            batch = next(loader_iter)
+            from prometheus_tpu.parallel import shard_batch_per_host
+            batch = shard_batch_per_host(mesh, next(loader_iter))
         else:
             batch = synthetic_mv_batch(
                 k_batch, B, N, img, ctx,
                 sv=int(tr.get("images_per_iter", 2)) if args.joint_sv
                 and args.stage == "mvldm" else 0)
-        batch = shard_batch(mesh, batch)
+            batch = shard_batch(mesh, batch)
         state, metrics = step_fn(state, batch, k_step)
         if step % args.log_every == 0 and is_main_process():
             jax.block_until_ready(metrics["loss"])
