@@ -33,3 +33,26 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+# Heavy modules/tests (>20 s each on the 1-core CI host) are auto-marked
+# ``slow`` so ``pytest -m "not slow"`` is a per-commit quick gate (~7 min);
+# the full suite (~26 min) stays the pre-merge bar.
+_SLOW_MODULES = {
+    "test_train_from_disk", "test_3d_mode", "test_gmldm_system",
+    "test_refiners", "test_training", "test_rendering_loss",
+    "test_reference_parity", "test_image_to_3d", "test_lpips_depth",
+    "test_serve_gallery",
+}
+_SLOW_TESTS = {
+    "test_gsdecoder_gradients", "test_unet_cross_view_mixing",
+    "test_pallas_vjp_matches_xla_grads", "test_gradients_flow_and_are_finite",
+    "test_cross_view_dit_views_interact",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES or item.name.split("[")[0] in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
