@@ -11,6 +11,13 @@ from .scene_dirs import (
     ObjaverseDataset,
     UrbanGenDataset,
 )
+from .legacy import (
+    BlenderRendersDataset,
+    CO3DDataset,
+    LegacyMixingDataset,
+    OmniObject3DDataset,
+    ShapeNetDataset,
+)
 from .t2i import Text2ImageDataset, clean_caption
 
 DATASET_REGISTRY = {
@@ -23,6 +30,12 @@ DATASET_REGISTRY = {
     "UrbanGenDataset": UrbanGenDataset,
     "ObjaverseDataset": ObjaverseDataset,
     "Text2ImageDataset": Text2ImageDataset,
+    # legacy (Director3D-era GMLDM) formats — datasets/legacy.py
+    "CO3DDataset": CO3DDataset,
+    "BlenderRendersDataset": BlenderRendersDataset,
+    "ShapeNetDataset": ShapeNetDataset,
+    "OmniObject3DDataset": OmniObject3DDataset,
+    "LegacyMixingDataset": LegacyMixingDataset,
 }
 
 

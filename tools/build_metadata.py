@@ -212,6 +212,115 @@ def urbangen_pkl(ann_path: str, out: str):
     print(f"[metadata] urbangen: {len(ann)} scenes -> {out}")
 
 
+def co3d_annotations(root: str, out: str, categories: list | None = None):
+    """CO3D ``frame_annotations.jgz`` -> generic annotation format.
+
+    Replaces the reference legacy CO3D path (``datasets/legacy/co3d.py``
+    built on pytorch3d's JsonIndexDataset + the ~2k-LoC proxy-depth tools):
+    the jgz is plain gzipped JSON, parsed directly. pytorch3d NDC cameras
+    are converted to OpenCV-pixel c2w following pytorch3d's own
+    ``opencv_from_cameras_projection`` (flip the first two columns of R and
+    first two components of T, transpose; focal/principal scaled by
+    ``min(H, W)/2``).
+    """
+    import gzip
+
+    cats = categories or [d for d in sorted(os.listdir(root))
+                          if os.path.isfile(os.path.join(
+                              root, d, "frame_annotations.jgz"))]
+    ann = {}
+    for cat in cats:
+        path = os.path.join(root, cat, "frame_annotations.jgz")
+        with gzip.open(path, "rt") as fp:
+            frames_meta = json.load(fp)
+        seqs: dict[str, list] = {}
+        for fm in frames_meta:
+            seqs.setdefault(fm["sequence_name"], []).append(fm)
+        for seq, fms in seqs.items():
+            frames, poses, intr = [], [], []
+            for fm in sorted(fms, key=lambda f: f.get("frame_number", 0)):
+                vp = fm.get("viewpoint")
+                img = fm.get("image", {})
+                if vp is None or "path" not in img:
+                    continue
+                H, W = img["size"]
+                s = min(H, W) / 2.0
+                R = np.asarray(vp["R"], np.float64)         # pytorch3d row-major
+                T = np.asarray(vp["T"], np.float64)
+                R = R.copy()
+                R[:, :2] *= -1.0
+                T = T.copy()
+                T[:2] *= -1.0
+                R_cv = R.T                                   # w2c rotation
+                c2w_R = R_cv.T
+                c2w_t = -R_cv.T @ T
+                fx = vp["focal_length"][0] * s
+                fy = vp["focal_length"][1] * s
+                cx = W / 2.0 - vp["principal_point"][0] * s
+                cy = H / 2.0 - vp["principal_point"][1] * s
+                frames.append(img["path"])
+                poses.append(np.concatenate(
+                    [c2w_R, c2w_t[:, None]], axis=1).tolist())
+                intr.append([fx, fy, cx, cy])
+            if len(frames) >= 2:
+                ann[f"{cat}/{seq}"] = {
+                    "frames": frames, "poses": poses, "intrinsics": intr,
+                    "captions": [cat.replace("_", " ")]}
+    with open(out, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] co3d: {len(ann)} sequences -> {out}")
+
+
+def blender_transforms(root: str, out: str, prompt_suffix: str = ""):
+    """Blender/NeRF-synthetic object renders -> annotation format.
+
+    Replaces the reference legacy ShapeNet/OmniObject3D readers
+    (``datasets/legacy/{shapenet,omniobject3d}.py``): each scene dir holds
+    ``transforms.json`` (or ``transforms_train.json``) with
+    ``camera_angle_x`` + per-frame blender ``transform_matrix`` (already
+    OpenGL-convention c2w).
+    """
+    ann = {}
+    for scene in sorted(os.listdir(root)):
+        sdir = os.path.join(root, scene)
+        tf = None
+        for name in ("transforms.json", "transforms_train.json"):
+            if os.path.isfile(os.path.join(sdir, name)):
+                with open(os.path.join(sdir, name)) as fp:
+                    tf = json.load(fp)
+                break
+        if tf is None:
+            continue
+        frames, poses = [], []
+        for fr in tf.get("frames", []):
+            rel = fr["file_path"]
+            if not os.path.splitext(rel)[1]:
+                rel += ".png"
+            frames.append(os.path.join(scene, rel))
+            poses.append(np.asarray(
+                fr["transform_matrix"], np.float64)[:3].tolist())
+        if not frames:
+            continue
+        probe = os.path.join(root, frames[0])
+        W = H = int(tf.get("w", tf.get("h", 0))) or None
+        if W is None and os.path.isfile(probe):
+            from PIL import Image
+
+            with Image.open(probe) as im:
+                W, H = im.size
+        W, H = W or 800, H or 800
+        fx = 0.5 * W / np.tan(0.5 * float(tf["camera_angle_x"]))
+        caption = scene.replace("_", " ")
+        if prompt_suffix:
+            caption = f"{caption}, {prompt_suffix}"
+        ann[scene] = {"frames": frames, "poses": poses,
+                      "intrinsics": [[fx, fx, W / 2.0, H / 2.0]] * len(frames),
+                      "captions": [caption]}
+    with open(out, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] blender: {len(ann)} scenes -> {out}")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -230,6 +339,15 @@ def main():
     s5 = sub.add_parser("urbangen-pkl", help="UrbanGen annotation pkl")
     s5.add_argument("--annotation", required=True)
     s5.add_argument("--out", required=True)
+    s6 = sub.add_parser("co3d", help="CO3D frame_annotations.jgz categories")
+    s6.add_argument("--root", required=True)
+    s6.add_argument("--out", required=True)
+    s6.add_argument("--categories", nargs="*", default=None)
+    s7 = sub.add_parser("blender", help="Blender/NeRF-synthetic renders "
+                                        "(legacy ShapeNet/OmniObject3D)")
+    s7.add_argument("--root", required=True)
+    s7.add_argument("--out", required=True)
+    s7.add_argument("--prompt_suffix", default="")
     args = ap.parse_args()
     if args.cmd == "scan-scenes":
         scan_scenes(args.root, args.out)
@@ -241,6 +359,10 @@ def main():
         dl3dv_raw(args.root, args.out, args.require_caption)
     elif args.cmd == "urbangen-pkl":
         urbangen_pkl(args.annotation, args.out)
+    elif args.cmd == "co3d":
+        co3d_annotations(args.root, args.out, args.categories)
+    elif args.cmd == "blender":
+        blender_transforms(args.root, args.out, args.prompt_suffix)
 
 
 if __name__ == "__main__":

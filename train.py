@@ -56,6 +56,11 @@ def parse_args():
                    choices=["da2", "luminance"],
                    help="pseudo-depth source: DepthAnything-V2 or a cheap "
                         "luminance proxy (no weights / smoke runs)")
+    p.add_argument("--debug", action="store_true",
+                   help="numerics debug: jax_debug_nans (raise at the op "
+                        "that produced a NaN — the reference's "
+                        "detect_anomaly analog, train.py:145) + hard "
+                        "finite checks on every host batch")
     return p.parse_args()
 
 
@@ -160,6 +165,9 @@ def main():
 
     cfg = load_config(args.config, overrides=args.override)
     tr = cfg.training
+    if args.debug:
+        from prometheus_tpu.utils.nan_guard import enable_nan_debug
+        enable_nan_debug()
     # multi-slice (multi-node) topologies get a hybrid dcn x data mesh so
     # FSDP all-gathers stay on ICI and only the once-per-step gradient
     # reduction crosses DCN; single-slice (and the CPU test mesh) is flat
@@ -443,7 +451,11 @@ def main():
         key, k_batch, k_step = jax.random.split(key, 3)
         if loader_iter is not None:
             from prometheus_tpu.parallel import shard_batch_per_host
-            batch = shard_batch_per_host(mesh, next(loader_iter))
+            host_batch = next(loader_iter)
+            if args.debug:
+                from prometheus_tpu.utils.nan_guard import assert_finite
+                assert_finite(host_batch, f"batch@step{step}")
+            batch = shard_batch_per_host(mesh, host_batch)
         else:
             batch = synthetic_mv_batch(
                 k_batch, B, N, img, ctx,
