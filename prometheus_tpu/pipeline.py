@@ -107,6 +107,7 @@ class PrometheusPipeline:
         latent_hw: int | None = None,
         refiner=None,
         use_3d_mode_every_m_steps: int = -1,
+        render_tile_capacity: int = 1024,
     ) -> dict:
         """Full text -> 3DGS scene generation. Returns a result dict with
         images/depths (2D decode), gaussians, and GS renders."""
@@ -160,7 +161,7 @@ class PrometheusPipeline:
         gaussians = self.decode_gaussians(latents, cameras)
         images_gs, depths_gs, masks_gs = self.render_views_chunked(
             cameras, gaussians, h=render_size, w=render_size,
-            backend=self._backend())
+            backend=self._backend(), tile_capacity=render_tile_capacity)
 
         result = {
             "cameras": cameras,
@@ -306,11 +307,18 @@ class PrometheusPipeline:
     @staticmethod
     def render_views_chunked(cameras: jax.Array, gaussians, h: int, w: int,
                              chunk: int | None = None, bg_color=None,
-                             backend: str = "xla"):
+                             backend: str = "xla",
+                             tile_capacity: int = 1024):
         """Render (B, N) views ``chunk`` at a time: the XLA compositor's
         per-view intermediates at 512^2 are HBM-heavy, so bounding the view
         batch keeps peak memory flat. The Pallas compositor keeps its
-        worklists small, so it takes all views in one dispatch."""
+        worklists small, so it takes all views in one dispatch.
+
+        ``tile_capacity`` is the per-tile worklist cap — the rasterizer's
+        quality/speed knob (measured at 512^2/524k gaussians on v5e:
+        1024 -> 75 dB vs an exact render at 19.5 FPS; 512 -> 45.6 dB at
+        ~35 FPS; truncation is depth-ordered so dropped instances sit
+        behind near-saturated alpha)."""
         if chunk is None:
             chunk = cameras.shape[1] if backend == "pallas" else 2
         outs = []
@@ -318,14 +326,20 @@ class PrometheusPipeline:
         for i in range(0, N, chunk):
             outs.append(render_gaussians(
                 cameras[:, i : i + chunk], gaussians, h=h, w=w,
-                bg_color=bg_color, backend=backend))
+                bg_color=bg_color, backend=backend,
+                tile_capacity=tile_capacity))
         return tuple(jnp.concatenate([o[k] for o in outs], axis=1)
                      for k in range(3))
 
     def render_orbit_video(self, gaussians, dense_cameras: jax.Array,
                            num_frames: int = 120, size: int = 512,
-                           chunk: int = 8):
-        """Render a slerp-resampled trajectory video -> (T, 3, size, size) [-1,1]."""
+                           chunk: int = 8, tile_capacity: int = 512):
+        """Render a slerp-resampled trajectory video -> (T, 3, size, size) [-1,1].
+
+        Default ``tile_capacity=512``: the 120-frame export pays the
+        rasterizer per frame, and capacity 512 is ~1.8x faster at 45.6 dB
+        vs an exact render even at worst-case density (display path; pass
+        1024+ for evaluation renders)."""
         t = jnp.linspace(0, 1, num_frames)[None]
         cams = sample_from_dense_cameras(dense_cameras[:1], t)  # (1, T, 18)
         frames = []
@@ -333,6 +347,6 @@ class PrometheusPipeline:
         for i in range(0, num_frames, chunk):
             imgs, deps, _ = render_gaussians(
                 cams[:, i : i + chunk], gaussians, h=size, w=size,
-                backend=backend)
+                backend=backend, tile_capacity=tile_capacity)
             frames.append(np.asarray(imgs[0]))
         return np.concatenate(frames, axis=0)
