@@ -247,6 +247,16 @@ def main():
 
     times = []
     result = None
+    prof_dir = os.environ.get("BENCH_PROFILE", "")
+    if prof_dir:
+        # one traced run (excluded from timing stats): xplane dump for
+        # offline op-level analysis
+        from prometheus_tpu.profiling import trace
+
+        with trace(prof_dir):
+            run_once(pipe, jax.random.PRNGKey(99), steps=steps,
+                     render_size=render_size, image_size=image_size)
+        _log(f"bench: profiler trace written to {prof_dir}")
     for i in range(3 if small else 2):
         t0 = time.time()
         result = run_once(pipe, jax.random.PRNGKey(100 + i), steps=steps,

@@ -516,3 +516,79 @@ def test_clip_text_parity():
 
     out = flax_clip.apply({"params": params}, jnp.asarray(ids))
     assert scaled_err(out, out_ref) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (VGG16) — the reference's `lpips` package (base_system.py:161-169)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_lpips_parity():
+    """Reference lpips math re-stated in torch (ScalingLayer -> VGG16 relu
+    slices -> unit-normalize -> non-negative 1x1 lins -> spatial mean ->
+    layer sum), with a real lpips-format state dict converted through
+    load_torch_lpips_weights."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from prometheus_tpu.models.lpips import (LPIPS, _SCALE, _SHIFT,
+                                             load_torch_lpips_weights)
+
+    conv_plan = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256),
+                 (256, 256), (256, 256), (256, 512), (512, 512), (512, 512),
+                 (512, 512), (512, 512), (512, 512)]
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    relu_slices = {1, 3, 6, 9, 12}        # conv numbers ending each block
+    g = torch.Generator().manual_seed(3)
+    sd = {}
+    for idx, (cin, cout) in zip(conv_idx, conv_plan):
+        sd[f"features.{idx}.weight"] = torch.randn(
+            (cout, cin, 3, 3), generator=g) * (1.5 / np.sqrt(cin * 9))
+        sd[f"features.{idx}.bias"] = torch.randn((cout,), generator=g) * 0.05
+    for k, ch in enumerate([64, 128, 256, 512, 512]):
+        sd[f"lin{k}.model.1.weight"] = torch.rand(
+            (1, ch, 1, 1), generator=g) * 0.1
+
+    def torch_lpips(x, y):
+        shift = torch.tensor(_SHIFT).view(1, 3, 1, 1)
+        scale = torch.tensor(_SCALE).view(1, 3, 1, 1)
+
+        def feats(im):
+            h = (im - shift) / scale
+            outs = []
+            block_end = {1: 2, 3: 4, 6: 7, 9: 10, 12: 13}
+            for ci, idx in enumerate(conv_idx):
+                h = F.conv2d(h, sd[f"features.{idx}.weight"],
+                             sd[f"features.{idx}.bias"], padding=1)
+                h = F.relu(h)
+                if ci in (1, 3, 6, 9, 12):
+                    outs.append(h)
+                    if ci != 12:
+                        h = F.max_pool2d(h, 2, 2)
+            return outs
+
+        total = 0.0
+        for k, (a, b) in enumerate(zip(feats(x), feats(y))):
+            a = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            b = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+            d = (a - b) ** 2
+            lin = F.conv2d(d, sd[f"lin{k}.model.1.weight"])
+            total = total + lin.mean(dim=(2, 3))
+        return total.mean()
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.15, x.shape), -1, 1).astype(np.float32)
+    with torch.no_grad():
+        want = float(torch_lpips(torch.from_numpy(x), torch.from_numpy(y)))
+
+    model = LPIPS()
+    dummy = jnp.zeros((1, 3, 64, 64))
+    params = model.init(jax.random.PRNGKey(0), dummy, dummy)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pt") as fp:
+        torch.save(sd, fp.name)
+        params = load_torch_lpips_weights(fp.name, params)
+    got = float(model.apply(params, jnp.asarray(x), jnp.asarray(y)))
+    assert abs(got - want) / max(abs(want), 1e-8) < 2e-3, (got, want)
