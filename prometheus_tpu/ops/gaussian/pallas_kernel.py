@@ -64,14 +64,19 @@ def sorted_tile_segments(proj: Projected, img_h, img_w, tile_size, capacity,
     sorted_tile, sorted_gauss = sort_tile_instances(
         tile_id, depth_key, gauss_idx, n_tiles)
     r = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, r)
+    starts = jnp.searchsorted(sorted_tile, r).astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, r, side="right")
     counts = jnp.minimum(ends - starts, capacity).astype(jnp.int32)
-    n_inst = sorted_gauss.shape[0]
     offs = jnp.arange(capacity, dtype=jnp.int32)
-    idx = jnp.clip(starts[:, None] + offs[None, :], 0, n_inst - 1)  # (T, K)
     in_seg = offs[None, :] < counts[:, None]
-    return sorted_gauss[idx], in_seg, counts
+    # per-tile segments are CONTIGUOUS in the sorted array: K-wide windows
+    # via vmapped dynamic_slice instead of a (T*K)-row fancy gather (TPU
+    # gather cost scales with row count; slices are near-free)
+    sg_pad = jnp.concatenate(
+        [sorted_gauss, jnp.zeros((capacity,), sorted_gauss.dtype)])
+    g = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sg_pad, (s,), (capacity,)))(starts)
+    return g, in_seg, counts
 
 
 def gather_rows(proj: Projected, colors, opacities, g, in_seg):

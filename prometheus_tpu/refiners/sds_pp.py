@@ -85,29 +85,41 @@ class GSRefinerSDSPlusPlus:
         return optax.multi_transform(transforms, labels)
 
     # ------------------------------------------------------------------
-    def _sds_losses(self, images, depths, cams, t, text_emb, uncond_emb,
-                    learn_emb, key):
-        """images (B, 3, H, W) in [-1,1] (differentiable wrt gaussians).
-
-        ``depths``/``cams`` are unused by the single-view refiner; the
-        multi-view subclass consumes them."""
+    # The per-iteration math is split into two compile units:
+    #   _guidance_targets — treats the renders as CONSTANTS (every tensor it
+    #     produces is a stop-grad target): U-Net passes, CFG, x0/image
+    #     predictions, and the LoDS embedding grad. Heavy, render-free.
+    #   _pull_loss — the part differentiated through the rasterizer + VAE
+    #     encode: re-encode the renders and pull them toward the targets.
+    # One fused step (guidance + render VJP + optimizer in a single jit)
+    # exceeded what the tunneled backend's remote_compile survives; the
+    # split programs each compile in train-step-bench territory. Math is
+    # unchanged: the U-Net outputs were stop-grad in the fused form too.
+    # ------------------------------------------------------------------
+    def _guidance_targets(self, images, depths, cams, t, text_emb,
+                          uncond_emb, learn_emb, key):
+        """images/depths: rendered constants. Returns
+        ``(targets dict, loss_embedding, grad_embedding)``."""
         latents = self.encode_fn(images)
         B = latents.shape[0]
         tb = jnp.broadcast_to(t, (B,))
         noise = jax.random.normal(key, latents.shape)
         ab = self.schedule.alphas_cumprod[tb][:, None, None, None]
-        latents_noisy = jnp.sqrt(ab) * latents + jnp.sqrt(1 - ab) * noise
+        frozen_noisy = jnp.sqrt(ab) * latents + jnp.sqrt(1 - ab) * noise
 
-        frozen_noisy = jax.lax.stop_gradient(latents_noisy)
         if self.use_lods:
-            eps_learn = self.denoise_fn(
-                frozen_noisy, tb,
-                jnp.broadcast_to(learn_emb, (B,) + learn_emb.shape[1:]))
-            loss_embedding = jnp.mean((eps_learn - noise) ** 2)
-            eps_learn = jax.lax.stop_gradient(eps_learn)
+            def emb_loss(emb):
+                eps_l = self.denoise_fn(
+                    frozen_noisy, tb,
+                    jnp.broadcast_to(emb, (B,) + emb.shape[1:]))
+                return jnp.mean((eps_l - noise) ** 2), eps_l
+
+            (loss_embedding, eps_learn), grad_emb = jax.value_and_grad(
+                emb_loss, has_aux=True)(learn_emb)
         else:
             eps_learn = noise
-            loss_embedding = 0.0
+            loss_embedding = jnp.zeros(())
+            grad_emb = jnp.zeros_like(learn_emb)
 
         eps = self.denoise_fn(
             jnp.concatenate([frozen_noisy, frozen_noisy], 0),
@@ -117,22 +129,30 @@ class GSRefinerSDSPlusPlus:
                 jnp.broadcast_to(uncond_emb, (B,) + uncond_emb.shape[1:])], 0))
         eps_cond, eps_uncond = jnp.split(eps, 2, axis=0)
         eps_g = eps_uncond + self.guidance_scale * (eps_cond - eps_uncond)
-        eps_g = jax.lax.stop_gradient(eps_g)
 
         alpha = jnp.sqrt(ab)
         sigma = jnp.sqrt(1 - ab)
         w = (1 - self.schedule.alphas_cumprod[tb])[:, None, None, None]
-        latents_pred = (frozen_noisy - sigma * (eps_g - eps_learn + noise)) / alpha
-        latents_pred = jax.lax.stop_gradient(latents_pred)
-        images_pred = jax.lax.stop_gradient(
-            jnp.clip(self.decode_fn(latents_pred), -1, 1))
+        latents_pred = (frozen_noisy - sigma * (eps_g - eps_learn + noise)) \
+            / alpha
+        images_pred = jnp.clip(self.decode_fn(latents_pred), -1, 1)
+        targets = {"latents_pred": latents_pred, "images_pred": images_pred,
+                   "scale": (w * alpha / sigma)[:, 0, 0, 0]}
+        return targets, loss_embedding, grad_emb
 
-        scale = (w * alpha / sigma)[:, 0, 0, 0]
-        loss_latent = jnp.sum(
-            jnp.sum((latents - latents_pred) ** 2, axis=(1, 2, 3)) * scale) / B
-        loss_image = jnp.sum(
-            jnp.sum((images - images_pred) ** 2, axis=(1, 2, 3)) * scale) / B
-        return loss_latent, loss_image, loss_embedding
+    def _pull_loss(self, images, depths, targets):
+        """Differentiable-through-render pull toward the guidance targets."""
+        latents = self.encode_fn(images)
+        B = latents.shape[0]
+        scale = targets["scale"]
+        loss_latent = jnp.sum(jnp.sum(
+            (latents - targets["latents_pred"]) ** 2, axis=(1, 2, 3))
+            * scale) / B
+        loss_image = jnp.sum(jnp.sum(
+            (images - targets["images_pred"]) ** 2, axis=(1, 2, 3))
+            * scale) / B
+        return (self.lambda_latent_sds * loss_latent
+                + self.lambda_image_sds * loss_image)
 
     # ------------------------------------------------------------------
     def refine_gaussians(self, gaussians, text_emb, uncond_emb,
@@ -155,25 +175,36 @@ class GSRefinerSDSPlusPlus:
         opt_state = tx.init((floats_of(buf), learn_emb))
         grad_stat = jnp.zeros(capacity)
 
+        # three compile units instead of one monster program (see the
+        # _guidance_targets docstring): render fwd -> guidance (U-Net) ->
+        # render+encode VJP + optimizer. Costs one extra render forward per
+        # iteration; each program compiles reliably at flagship size.
         @jax.jit
-        def step(buf, learn_emb, opt_state, grad_stat, i, key):
-            k_cam, k_noise, k_t = jax.random.split(key, 3)
+        def render_fwd(buf, i, key):
+            k_cam, k_noise = jax.random.split(key)
             ts = jax.random.uniform(k_cam, (1, self.num_views))
             cams = sample_from_dense_cameras(dense_cameras[:1], ts)
-            t = self._t_for_iter(i)
+            imgs, deps, masks = render_gaussians(
+                cams, activate(buf), h=self.img_size, w=self.img_size)
+            images = imgs.reshape((-1, 3, self.img_size, self.img_size))
+            return images, deps, cams, self._t_for_iter(i), k_noise
+
+        @jax.jit
+        def guidance(images, deps, cams, t, learn_emb, k_noise):
+            return self._guidance_targets(images, deps, cams, t, text_emb,
+                                          uncond_emb, learn_emb, k_noise)
+
+        @jax.jit
+        def grad_and_update(buf, learn_emb, opt_state, grad_stat, cams,
+                            targets, grad_emb, loss_emb):
             alive = buf.alive
 
-            def loss_fn(args):
-                floats, emb = args
+            def loss_fn(floats):
                 b = GaussianBuffer(*floats, alive=alive)
-                g = activate(b)
                 imgs, deps, masks = render_gaussians(
-                    cams, g, h=self.img_size, w=self.img_size)
+                    cams, activate(b), h=self.img_size, w=self.img_size)
                 images = imgs.reshape((-1, 3, self.img_size, self.img_size))
-                l_lat, l_img, l_emb = self._sds_losses(
-                    images, deps, cams, t, text_emb, uncond_emb, emb, k_noise)
-                loss = (self.lambda_latent_sds * l_lat
-                        + self.lambda_image_sds * l_img + l_emb)
+                loss = self._pull_loss(images, deps, targets)
                 if self.lambda_mask_saturation > 0:
                     loss += self.lambda_mask_saturation * jnp.mean(
                         (masks - 1.0) ** 2)
@@ -183,14 +214,15 @@ class GSRefinerSDSPlusPlus:
                     jnp.where(b.alive & (scal > 0.1), scal, 0.0))
                 return loss
 
-            params = (floats_of(buf), learn_emb)
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            gfloats, gemb = grads
+            floats = floats_of(buf)
+            loss, gfloats = jax.value_and_grad(loss_fn)(floats)
+            params = (floats, learn_emb)
+            grads = (gfloats, grad_emb)
             updates, opt_state = tx.update(grads, opt_state, params)
             (new_floats, learn_emb) = optax.apply_updates(params, updates)
             buf = GaussianBuffer(*new_floats, alive=alive)
             stat = grad_stat + jnp.linalg.norm(gfloats[0], axis=-1)
-            return buf, learn_emb, opt_state, loss, stat
+            return buf, learn_emb, opt_state, loss + loss_emb, stat
 
         densify = jax.jit(partial(
             densify_and_prune, opacity_prune=self.opacity_threshold))
@@ -203,9 +235,13 @@ class GSRefinerSDSPlusPlus:
                               k_d)
                 grad_stat = jnp.zeros(capacity)
                 opt_state = tx.init((floats_of(buf), learn_emb))  # reset moments
-            buf, learn_emb, opt_state, loss, grad_stat = step(
-                buf, learn_emb, opt_state, grad_stat,
-                jnp.asarray(i, jnp.float32), k_i)
+            images, deps, cams, t, k_noise = render_fwd(
+                buf, jnp.asarray(i, jnp.float32), k_i)
+            targets, loss_emb, grad_emb = guidance(
+                images, deps, cams, t, learn_emb, k_noise)
+            buf, learn_emb, opt_state, loss, grad_stat = grad_and_update(
+                buf, learn_emb, opt_state, grad_stat, cams, targets,
+                grad_emb, loss_emb)
         return activate(buf)
 
 
@@ -225,11 +261,9 @@ class MultiviewSDSPPRefiner(GSRefinerSDSPlusPlus):
     mvldm_params: Any = None
     use_lods: bool = False
 
-    def _sds_losses(self, images, depths, cams, t, text_emb, uncond_emb,
-                    learn_emb, key):
-        sys_ = self.mvldm_system
+    def _encode_rgbd(self, images, depths):
+        """Renders -> joint (1, V, 8, h, h) RGB-D latents."""
         V = self.num_views
-        # encode RGB and rendered depth into the 8-ch RGB-D latent space
         depth3 = jnp.repeat(
             jnp.clip(depths, 0.0, 1.0).reshape(V, 1, self.img_size,
                                                self.img_size) * 2 - 1,
@@ -237,21 +271,31 @@ class MultiviewSDSPPRefiner(GSRefinerSDSPlusPlus):
         lat_rgb = self.encode_fn(images)
         lat_depth = self.encode_fn(depth3)
         hw = lat_rgb.shape[-1]
-        latents = jnp.concatenate([lat_rgb, lat_depth], 1).reshape(
+        return jnp.concatenate([lat_rgb, lat_depth], 1).reshape(
             1, V, 8, hw, hw)
+
+    def _guidance_targets(self, images, depths, cams, t, text_emb,
+                          uncond_emb, learn_emb, key):
+        sys_ = self.mvldm_system
+        latents = self._encode_rgbd(images, depths)
+        hw = latents.shape[-1]
 
         sch = sys_.schedule
         sigma = sch.train_sigmas[t] if sch.train_sigmas is not None \
             else jnp.exp(sch.p_mean + sch.p_std)
         noise = jax.random.normal(key, latents.shape)
-        noisy = jax.lax.stop_gradient(latents) + sigma * noise
+        noisy = latents + sigma * noise
 
         pose_emb, uncond_pose = sys_._pose_embeddings(cams, hw, hw)
         out = sys_._guided_output(
             self.mvldm_params, noisy, sigma, text_emb, uncond_emb,
             pose_emb, uncond_pose, "joint", self.guidance_scale, 0.0)
-        x0 = jax.lax.stop_gradient(
-            sch.denoise_output_to_x0(noisy, out, sigma))
-        w = 1.0 / (sigma**2 + 1.0)
-        loss_latent = jnp.sum(w * (latents - x0) ** 2) / V
-        return loss_latent, 0.0, 0.0
+        x0 = sch.denoise_output_to_x0(noisy, out, sigma)
+        targets = {"x0": x0, "w": 1.0 / (sigma**2 + 1.0)}
+        return targets, jnp.zeros(()), jnp.zeros_like(learn_emb)
+
+    def _pull_loss(self, images, depths, targets):
+        latents = self._encode_rgbd(images, depths)
+        loss_latent = jnp.sum(
+            targets["w"] * (latents - targets["x0"]) ** 2) / self.num_views
+        return self.lambda_latent_sds * loss_latent
