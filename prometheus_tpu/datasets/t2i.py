@@ -4,6 +4,12 @@ Parity target: ``/root/reference/prometheus/datasets/t2i_dataset.py`` — flat
 image collections with per-image captions, emitting ``images_per_iter``
 images per item for the single-view branch of stage-2 training. Caption
 cleanup heuristics kept (strip boilerplate prefixes, collapse whitespace).
+
+The reference's ``_TorchSerializedList`` (``t2i_dataset.py:20-130``) exists
+to stop fork-based DataLoader workers from copy-on-writing the caption list
+per process; this framework's loader is thread-pooled
+(``datasets/loader.py``), so the caption list is naturally shared and the
+serialized-buffer machinery is unnecessary by construction.
 """
 from __future__ import annotations
 

@@ -16,6 +16,7 @@ through autodiff).
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Any, Callable
 
@@ -27,6 +28,23 @@ from ..ops.gaussian import render_gaussians
 from ..ops.schedulers import make_ddim
 from ..utils.cameras import sample_from_dense_cameras
 from .gs_manager import GaussianBuffer, activate, densify_and_prune, make_buffer
+
+def call_with_compile_retry(fn, *args, attempts: int = 3, wait: float = 30.0):
+    """Invoke a jitted fn, retrying on transient backend-transport failures.
+
+    Tunneled/remote TPU backends can drop the compile RPC ("UNAVAILABLE ...
+    Broken pipe") on large programs late in a process's life while the
+    device itself stays healthy; a backoff retry re-issues the compile.
+    No-op overhead on the cached fast path.
+    """
+    for a in range(attempts):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:
+            if "UNAVAILABLE" not in str(e) or a == attempts - 1:
+                raise
+            time.sleep(wait * (a + 1))
+
 
 DEFAULT_LRS = {
     "xyz": 1e-4, "feats_raw": 1e-2, "opacity_raw": 5e-2,
@@ -235,13 +253,14 @@ class GSRefinerSDSPlusPlus:
                               k_d)
                 grad_stat = jnp.zeros(capacity)
                 opt_state = tx.init((floats_of(buf), learn_emb))  # reset moments
-            images, deps, cams, t, k_noise = render_fwd(
-                buf, jnp.asarray(i, jnp.float32), k_i)
-            targets, loss_emb, grad_emb = guidance(
-                images, deps, cams, t, learn_emb, k_noise)
-            buf, learn_emb, opt_state, loss, grad_stat = grad_and_update(
-                buf, learn_emb, opt_state, grad_stat, cams, targets,
-                grad_emb, loss_emb)
+            images, deps, cams, t, k_noise = call_with_compile_retry(
+                render_fwd, buf, jnp.asarray(i, jnp.float32), k_i)
+            targets, loss_emb, grad_emb = call_with_compile_retry(
+                guidance, images, deps, cams, t, learn_emb, k_noise)
+            buf, learn_emb, opt_state, loss, grad_stat = \
+                call_with_compile_retry(
+                    grad_and_update, buf, learn_emb, opt_state, grad_stat,
+                    cams, targets, grad_emb, loss_emb)
         return activate(buf)
 
 
