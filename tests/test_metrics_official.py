@@ -111,3 +111,46 @@ def test_compute_metrics_tool(tmp_path, rng):
     assert metrics["metrics_are_proxies"] is True
     assert len(metrics["per_prompt"]) == 2
     assert np.isfinite(metrics["average_niqe"])
+
+
+def test_compute_metrics_tool_official_assets(tmp_path, rng):
+    """End-to-end: the aggregation tool consuming official-format assets
+    (libsvm allmodel/allrange + niqe_image_params.mat fixtures)."""
+    from PIL import Image
+    from scipy.io import savemat
+
+    gal = os.path.join(tmp_path, "gallery")
+    d = os.path.join(gal, "a_red_cube")
+    os.makedirs(d)
+    for v in range(2):
+        Image.fromarray(
+            (rng.random((96, 96, 3)) * 255).astype(np.uint8)).save(
+            os.path.join(d, f"view_{v:02d}.png"))
+
+    svr = os.path.join(tmp_path, "allmodel")
+    sv = " ".join(f"{i+1}:0.0" for i in range(36))
+    open(svr, "w").write(
+        "svm_type epsilon_svr\nkernel_type rbf\ngamma 0.01\nrho 0.5\nSV\n"
+        f"1.0 {sv}\n")
+    rng_file = os.path.join(tmp_path, "allrange")
+    open(rng_file, "w").write(
+        "x\n-1 1\n" + "\n".join(f"{i+1} -1 1" for i in range(36)))
+    pop = np.concatenate([
+        niqe_features_patches(rng.random((96, 96)) * 255, patch=48)
+        for _ in range(4)], 0)
+    mat = os.path.join(tmp_path, "niqe_image_params.mat")
+    savemat(mat, {"pop_mu": pop.mean(0),
+                  "pop_cov": np.cov(pop, rowvar=False) + 1e-3 * np.eye(36)})
+
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "compute_metrics.py")
+    out = subprocess.run(
+        [sys.executable, tool, "--input_dir", gal,
+         "--brisque_svr", svr, "--brisque_range", rng_file,
+         "--niqe_mat", mat],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    metrics = json.load(open(os.path.join(gal, "all_metric.json")))
+    assert metrics["metrics_are_proxies"] is False
+    assert np.isfinite(metrics["average_niqe"])
+    assert np.isfinite(metrics["average_BRISQUE"])
