@@ -38,6 +38,22 @@ def _flash_fn():
     return flash_attention, BlockSizes
 
 
+@functools.cache
+def _block_sizes(seq: int):
+    """Tuned block sizes: the library defaults leave ~4x on the table at the
+    cross-view shapes (measured on v5e at (2,5,8192,64): 19.9 ms default vs
+    5.0 ms with 1024-wide blocks — 34 TFLOPs; same ranking at (16,5,1024)).
+    """
+    _, BlockSizes = _flash_fn()
+    b = min(1024, seq)
+    if seq % b:
+        return None   # let the kernel pick its defaults
+    return BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+
+
 def _xla_attention(q, k, v, scale):
     # (B, T, H, D) -> einsum path; accumulate logits/weights in fp32.
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
@@ -66,6 +82,7 @@ def scaled_dot_product_attention(
     if use_flash:
         flash_attention, _ = _flash_fn()
         qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))  # BHTD
-        out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+        out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale,
+                              block_sizes=_block_sizes(q.shape[1]))
         return jnp.swapaxes(out, 1, 2)
     return _xla_attention(q, k, v, scale)

@@ -75,9 +75,18 @@ def project_gaussians(
     txz = jnp.clip(p_cam[..., 0] / tz_safe, -lim_x, lim_x)
     tyz = jnp.clip(p_cam[..., 1] / tz_safe, -lim_y, lim_y)
 
-    cov3d = covariance_3d(scales, quats)          # (N, 3, 3)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R, cov3d, R,
-                         precision=jax.lax.Precision.HIGHEST)
+    # Camera-space covariance M diag(s^2) M^T with M = R_w2c @ R_gauss,
+    # expanded to elementwise VPU math: batched (3,3) einsums lower to MXU
+    # matmuls at 3/128 tile utilization and dominated the projection stage.
+    Rg = quaternion_to_matrix(quats)              # (N, 3, 3)
+    s2 = scales**2
+    M = [[R[i, 0] * Rg[..., 0, k] + R[i, 1] * Rg[..., 1, k]
+          + R[i, 2] * Rg[..., 2, k] for k in range(3)] for i in range(3)]
+
+    def _cc(i, j):
+        return (s2[..., 0] * M[i][0] * M[j][0]
+                + s2[..., 1] * M[i][1] * M[j][1]
+                + s2[..., 2] * M[i][2] * M[j][2])
 
     # J = [[fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]]
     inv_z = 1.0 / tz_safe
@@ -86,13 +95,13 @@ def project_gaussians(
     j11 = fy * inv_z
     j12 = -fy * tyz * inv_z
     # cov2d = J cov_cam J^T, expanded (J has structure [[j00,0,j02],[0,j11,j12]])
-    c = cov_cam
-    a00 = j00 * c[..., 0, 0] + j02 * c[..., 2, 0]
-    a01 = j00 * c[..., 0, 1] + j02 * c[..., 2, 1]
-    a02 = j00 * c[..., 0, 2] + j02 * c[..., 2, 2]
-    b10 = j11 * c[..., 1, 0] + j12 * c[..., 2, 0]
-    b11 = j11 * c[..., 1, 1] + j12 * c[..., 2, 1]
-    b12 = j11 * c[..., 1, 2] + j12 * c[..., 2, 2]
+    c00, c01, c02 = _cc(0, 0), _cc(0, 1), _cc(0, 2)
+    c11, c12, c22 = _cc(1, 1), _cc(1, 2), _cc(2, 2)
+    a00 = j00 * c00 + j02 * c02
+    a01 = j00 * c01 + j02 * c12
+    a02 = j00 * c02 + j02 * c22
+    b11 = j11 * c11 + j12 * c12
+    b12 = j11 * c12 + j12 * c22
     cov00 = a00 * j00 + a02 * j02 + eps2d
     cov01 = a01 * j11 + a02 * j12
     cov11 = b11 * j11 + b12 * j12 + eps2d

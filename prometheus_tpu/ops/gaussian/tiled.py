@@ -100,22 +100,23 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
 
     big_cap = min(big_cap, n)
     is_big = proj.valid & ((y1 - y0 >= 2) | (x1 - x0 >= 2))
-    rank = jnp.cumsum(is_big.astype(jnp.int32)) - is_big.astype(jnp.int32)
-    selected = is_big & (rank < big_cap)
+
+    # big path: compact the big indices with one stable N-length sort (big
+    # first, in index order); budget selection = position < big_cap. A tiny
+    # big_cap-element scatter marks the selected — no N-length cumsum.
+    _, sel_all = jax.lax.sort(
+        ((~is_big).astype(jnp.int32), gauss_idx), num_keys=1)
+    sel_idx = sel_all[:big_cap]
+    sel_ok = jnp.arange(big_cap, dtype=jnp.int32) \
+        < jnp.sum(is_big.astype(jnp.int32))
+    selected = jnp.zeros((n,), jnp.bool_).at[sel_idx].set(
+        sel_ok, mode="drop")
 
     # small path: everything except the big-selected (budget-overflow big
     # gaussians stay here with a truncated 2x2 window rather than vanishing)
     tid_s, dep_s, idx_s = _expand_window(
         x0, x1, y0, y1, proj.valid & ~selected, proj.depth, gauss_idx,
         (2, 2), grid_w, grid_h)
-
-    # big path: compact the selected indices with one N-length sort
-    # (scatter-free; XLA sort is the predictable primitive on TPU)
-    sel_key = jnp.where(selected, rank, jnp.int32(n + 1))
-    _, sel_idx = jax.lax.sort((sel_key, gauss_idx), num_keys=1)
-    sel_idx = sel_idx[:big_cap]
-    sel_ok = jnp.arange(big_cap, dtype=jnp.int32) \
-        < jnp.sum(selected.astype(jnp.int32))
     tid_b, dep_b, idx_b = _expand_window(
         x0[sel_idx], x1[sel_idx], y0[sel_idx], y1[sel_idx], sel_ok,
         proj.depth[sel_idx], sel_idx, (ty_cap, tx_cap), grid_w, grid_h)
