@@ -85,6 +85,8 @@ def load_benchmark(bench_dir: str, traj_idx: int = 0):
 
 
 def main():
+    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     args = parse_args()
     import jax
 

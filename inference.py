@@ -83,9 +83,21 @@ def build_pipeline(args):
             pipe.traj_params = tree["traj"]
             pipe.gsdecoder_vars = tree["gsdecoder"]
         else:
-            raise NotImplementedError(
-                "torch full.ckpt conversion requires tools/convert_ckpt.py "
-                "(see prometheus_tpu/checkpoint.py)")
+            # raw torch full.ckpt bundle (reference create_finalckpt.py
+            # layout) — convert in place through the same tables
+            # tools/convert_ckpt.py uses
+            from prometheus_tpu.checkpoint import (convert_bundle,
+                                                   split_full_ckpt)
+
+            report = convert_bundle(split_full_ckpt(args.ckpt), pipe)
+            for tower, r in report.items():
+                bad = (r.get("missing", []) + r.get("unassigned", [])
+                       + r.get("unmapped", []))
+                if bad:
+                    print(f"[inference] WARNING: {tower}: "
+                          f"{len(bad)} unconverted entries, e.g. {bad[:5]}")
+                print(f"[inference] {tower}: {r['mapped']} tensors converted,"
+                      f" {len(r.get('skipped', []))} skipped")
     else:
         print("[inference] no checkpoint given/found - using random weights")
     return pipe
@@ -141,6 +153,8 @@ def export_result(result, pipe, prompt: str, out_dir: str, args) -> dict:
 
 
 def main():
+    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     args = parse_args()
     prompts = []
     if args.prompt:

@@ -30,9 +30,36 @@ def build_dataset(node: dict, common: dict | None = None):
                            fake_length=node.get("fake_length", -1))
     cls = DATASET_REGISTRY[name]
     args = dict(node.get("args", {}))
+    accepted = _accepted_kwargs(cls)
     for k, v in common.items():
-        args.setdefault(k, v)
+        # group-level settings only apply where the class takes them — e.g.
+        # a Text2ImageDataset child of a JointDataset must not receive the
+        # multi-view num_input_views/num_novel_views knobs
+        if accepted is None or k in accepted:
+            args.setdefault(k, v)
     return cls(**args)
+
+
+def _accepted_kwargs(cls) -> set | None:
+    """Keyword names accepted anywhere in the class's __init__ MRO; None if
+    a bare **kwargs sink makes the set unknowable."""
+    import inspect
+
+    names: set = set()
+    for c in cls.__mro__:
+        init = c.__dict__.get("__init__")
+        if init is None:
+            continue
+        sig = inspect.signature(init)
+        has_var_kw = False
+        for p in sig.parameters.values():
+            if p.kind == inspect.Parameter.VAR_KEYWORD:
+                has_var_kw = True
+            elif p.name != "self":
+                names.add(p.name)
+        if not has_var_kw:
+            return names
+    return names
 
 
 def common_kwargs_from_group(ds_cfg: dict) -> dict:

@@ -65,13 +65,16 @@ class LPIPS(nn.Module):
             a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
             b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
             diff = (a - b) ** 2
-            # learned 1x1 head: lpips's ``lin`` is sum_c w_c * diff_c (w
-            # non-negative by construction, NO channel mean) — random init
-            # uses 1/C so untrained layer contributions stay balanced
+            # learned 1x1 head: lpips's ``lin`` is sum_c w_c * diff_c (NO
+            # channel mean) — random init uses 1/C so untrained layer
+            # contributions stay balanced. Official weights are non-negative
+            # (relu is then a no-op); the projection keeps the head a valid
+            # distance if this flax module is ever trained from scratch.
             w = self.param(
                 f"lin{i}",
                 nn.initializers.constant(1.0 / diff.shape[-1]),
                 (diff.shape[-1],))
+            w = jax.nn.relu(w)
             contrib = jnp.mean(jnp.sum(diff * w, axis=-1), axis=(1, 2))
             total = total + contrib
         return jnp.mean(total)

@@ -99,6 +99,8 @@ class MVLDMModel(nn.Module):
         t: jax.Array,                # (B, N) noise conditioning (c_noise(sigma) or step)
         cameras: jax.Array | None = None,  # (B, N, 18) -> low-res raymap cond
         num_views: int | None = None,
+        text_kv: dict | None = None,  # precomputed per-site text K/V whose
+        # rows match the per-view-repeated context (see unet_mv.precompute_text_kv)
     ) -> jax.Array:
         """Returns the x0/v/eps prediction for the first 8 channels."""
         B, N, C, h, w = latents_noisy.shape
@@ -113,6 +115,7 @@ class MVLDMModel(nn.Module):
             t.reshape(B * N),
             ctx,
             num_frames=num_views if num_views is not None else N,
+            text_kv=text_kv,
         )
         out = out.reshape(B, N, -1, h, w)
         return out[:, :, :8]

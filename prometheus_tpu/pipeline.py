@@ -221,10 +221,15 @@ class PrometheusPipeline:
         # U-Net io channels = latent + extra (mv_ldm.py setup); the pad covers
         # the depth-latent + raymap(+mask) conditioning slots
         n_cond = model.extra_latent_channel
+        # same DDPM schedule GSRefinerSDSPlusPlus builds in __post_init__ —
+        # bound here explicitly so the closure never reads the late-assigned
+        # ``refiner`` local (UnboundLocalError if invoked pre-construction)
+        from .ops.schedulers import make_ddim
+        ddpm = make_ddim(kind="scaled_linear")
 
         def denoise_fn(lat_noisy_vp, t, emb):
             """VP-noisy (B,4,h,w) + integer t -> eps prediction (B,4,h,w)."""
-            ab = refiner.schedule.alphas_cumprod[t][:, None, None, None]
+            ab = ddpm.alphas_cumprod[t][:, None, None, None]
             sigma = jnp.sqrt((1.0 - ab) / ab)           # VE sigma of this t
             x_ve = lat_noisy_vp / sched.c_in(sigma)     # undo VP scaling
             B = lat_noisy_vp.shape[0]

@@ -2,9 +2,10 @@
 
 Parity target: ``/root/reference/prometheus/systems/gs_decoder_system.py``.
 The frozen VAE encoder embeds the input views (RGB + pseudo-depth); the
-trainable decoder + cross-view DiT emit pixel-aligned gaussians; input and
-novel views are rendered and supervised with MSE + (pluggable) LPIPS +
-scale/shift-invariant disparity + opacity-entropy losses.
+trainable decoder + cross-view DiT emit pixel-aligned gaussians; the NOVEL
+views are rendered and supervised with MSE + (pluggable) LPIPS +
+scale/shift-invariant disparity + opacity-entropy losses (the reference's
+"Multiview loss (Novel view only)", gs_decoder_system.py:203-214).
 """
 from __future__ import annotations
 
@@ -84,12 +85,14 @@ class GSDecoderSystem:
             variables, None, images[:, :n_in], depths[:, :n_in],
             cameras[:, :n_in], key, train=True)
 
-        # render and supervise input + novel views (the reference renders the
-        # input views too, gs_decoder_system.py:203-207)
+        # render and supervise NOVEL views only (reference
+        # gs_decoder_system.py:203-207 renders cameras[:, num_input_views:];
+        # its comment: "Multiview loss (Novel view only)")
         imgs_nv, deps_nv, masks_nv = render_gaussians(
-            cameras, gaussians, h=rs, w=rs, bg_color=self.render_bg_color)
-        gt_nv = images
-        gt_disp_nv = depths
+            cameras[:, n_in:], gaussians, h=rs, w=rs,
+            bg_color=self.render_bg_color)
+        gt_nv = images[:, n_in:]
+        gt_disp_nv = depths[:, n_in:]
 
         # NOTE: zero-lambda terms are skipped entirely — in JAX, 0 * NaN-grad
         # is still NaN, so multiplying by a zero weight does not protect you.

@@ -186,6 +186,31 @@ def map_clip_text(num_layers: int = 23) -> Iterator[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# CLIP vision tower (transformers CLIPVisionModelWithProjection naming;
+# reference mv_ldm.py:72-82 loads it for the image-to-3D task)
+# ---------------------------------------------------------------------------
+
+def map_clip_vision(num_layers: int = 32) -> Iterator[tuple]:
+    emb = "vision_model.embeddings"
+    yield f"{emb}.patch_embedding", "patch_embed", "conv"
+    yield f"{emb}.class_embedding", "class_embedding", "raw"
+    yield f"{emb}.position_embedding", "position_embedding", "embed_raw"
+    # transformers' attribute really is spelled "pre_layrnorm"
+    yield "vision_model.pre_layrnorm", "pre_ln", "ln"
+    for i in range(num_layers):
+        src = f"vision_model.encoder.layers.{i}"
+        dst = f"layer_{i}"
+        for t in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            yield f"{src}.self_attn.{t}", f"{dst}/{t}", "linear"
+        yield f"{src}.layer_norm1", f"{dst}/ln1", "ln"
+        yield f"{src}.layer_norm2", f"{dst}/ln2", "ln"
+        yield f"{src}.mlp.fc1", f"{dst}/fc1", "linear"
+        yield f"{src}.mlp.fc2", f"{dst}/fc2", "linear"
+    yield "vision_model.post_layernorm", "post_ln", "ln"
+    yield "visual_projection", "visual_projection", "linear_nb"
+
+
+# ---------------------------------------------------------------------------
 # Generic applier
 # ---------------------------------------------------------------------------
 
@@ -202,9 +227,12 @@ def expected_torch_keys(pairs) -> set[str]:
     """All torch state-dict keys a mapping table can consume (for coverage
     checks: ``sd.keys() - expected_torch_keys(pairs)`` should be empty)."""
     keys = set()
-    for src, _dst, _kind in pairs:
-        keys.add(f"{src}.weight")
-        keys.add(f"{src}.bias")
+    for src, _dst, kind in pairs:
+        if kind == "raw":
+            keys.add(src)
+        else:
+            keys.add(f"{src}.weight")
+            keys.add(f"{src}.bias")
     return keys
 
 
@@ -277,6 +305,12 @@ def apply_weight_map(sd: dict, pairs, params: dict,
                     missing.append(src)
                 continue
             put(dst, sd[wk])
+        elif kind == "raw":     # bare tensor (no .weight suffix), verbatim
+            if src not in sd:
+                if _path_exists(params, dst):
+                    missing.append(src)
+                continue
+            put(dst, sd[src])
         else:
             raise ValueError(kind)
     return mapped, missing, unassigned

@@ -32,8 +32,11 @@ import time
 def generate_batch(pipe, prompts: list[str], key, mesh=None, *,
                    num_views=8, num_inference_steps=50, guidance_scale=7.5,
                    cfg_rescale=0.7, render_size=512, image_size=256,
-                   latent_hw=None):
-    """Run the full pipeline on a batch of prompts, optionally sharded."""
+                   latent_hw=None, compiled_sample=None):
+    """Run the full pipeline on a batch of prompts, optionally sharded.
+
+    ``compiled_sample``: an AOT-compiled sampler executable (``aot_sampler``)
+    — skips trace+compile of the dominant program on warm starts."""
     import jax
     import jax.numpy as jnp
 
@@ -53,11 +56,15 @@ def generate_batch(pipe, prompts: list[str], key, mesh=None, *,
                                      for x in (text_emb, uncond, cameras))
 
     hw = latent_hw or pipe.mvldm.model.latent_size
-    latents = pipe.mvldm.sample(
-        pipe.mvldm_params, k_mv, cameras, text_emb, uncond,
-        num_inference_steps=num_inference_steps,
-        guidance_scale=guidance_scale, guidance_type="joint",
-        cfg_rescale=cfg_rescale, latent_hw=hw)
+    if compiled_sample is not None:
+        latents = compiled_sample(pipe.mvldm_params, k_mv, cameras,
+                                  text_emb, uncond)
+    else:
+        latents = pipe.mvldm.sample(
+            pipe.mvldm_params, k_mv, cameras, text_emb, uncond,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, guidance_type="joint",
+            cfg_rescale=cfg_rescale, latent_hw=hw)
     gaussians = pipe.decode_gaussians(latents, cameras)
     imgs, deps, masks = pipe.render_views_chunked(
         cameras, gaussians, h=render_size, w=render_size,
@@ -65,6 +72,78 @@ def generate_batch(pipe, prompts: list[str], key, mesh=None, *,
     return {"cameras": cameras, "dense_cameras": dense,
             "latents_pred": latents, "gaussians": gaussians,
             "images_gs_render": imgs, "depths_gs_render": deps}
+
+
+def aot_sampler(pipe, path: str, *, batch_size: int, num_views: int,
+                num_inference_steps: int, guidance_scale: float = 7.5,
+                cfg_rescale: float = 0.7, latent_hw: int | None = None,
+                text_len: int = 77):
+    """AOT-persist the dominant serving program (the MV-LDM sampling scan).
+
+    Cold start = init + XLA compile; the sampler is the bulk of the compile
+    budget (157 s of the round-2 flagship warm-up). This lowers+compiles it
+    for the serving shapes and pickles the serialized executable
+    (``jax.experimental.serialize_executable``); the next process start
+    deserializes and skips trace+compile entirely. Complements (and works
+    where) the persistent compilation cache (which stalls on the tunneled
+    axon backend — see module docstring) does not.
+
+    Returns a callable ``(params, key, cameras, text_emb, uncond) ->
+    latents``. Shapes are baked in: one AOT file per serving configuration.
+    """
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.serialize_executable import (deserialize_and_load,
+                                                       serialize)
+
+    # single-device program (the per-chip serving deployment). An AOT
+    # executable takes its inputs at the EXACT compiled placement — pin
+    # everything to device 0 so the program is 1-shard regardless of how
+    # many local devices exist (multi-chip serving uses the live jit path).
+    dev0 = jax.devices()[0]
+    place = jax.sharding.SingleDeviceSharding(dev0)
+
+    def placed(tree):
+        return jax.tree.map(lambda x: jax.device_put(x, place), tree)
+
+    def wrap(compiled):
+        def call(params, key, cameras, text_emb, uncond):
+            return compiled(*placed((params, key, cameras, text_emb,
+                                     uncond)))
+        return call
+
+    if os.path.exists(path):
+        with open(path, "rb") as fp:
+            payload = pickle.load(fp)
+        # execution_devices defaults to ALL client devices — pin to device 0
+        # (the compiled program is single-device)
+        return wrap(deserialize_and_load(
+            payload["bytes"], payload["in_tree"], payload["out_tree"],
+            execution_devices=[dev0]))
+
+    hw = latent_hw or pipe.mvldm.model.latent_size
+    ctx = pipe.mvldm.model.context_dim
+    B, N = batch_size, num_views
+    dtype = pipe.mvldm.model.dtype
+    args = placed((pipe.mvldm_params, jax.random.PRNGKey(0),
+                   jnp.zeros((B, N, 18)),
+                   jnp.zeros((B, text_len, ctx), dtype),
+                   jnp.zeros((B, text_len, ctx), dtype)))
+    # .lower must go through the unbound jit (binding via the instance
+    # attribute works for __call__ but not for the AOT entry points)
+    lowered = type(pipe.mvldm).sample.lower(
+        pipe.mvldm, *args, num_inference_steps=num_inference_steps,
+        guidance_scale=guidance_scale, guidance_type="joint",
+        cfg_rescale=cfg_rescale, latent_hw=hw)
+    compiled = lowered.compile()
+    ser, in_tree, out_tree = serialize(compiled)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fp:
+        pickle.dump({"bytes": ser, "in_tree": in_tree,
+                     "out_tree": out_tree}, fp)
+    return wrap(compiled)
 
 
 def main():
@@ -79,12 +158,22 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--selftest", action="store_true",
                     help="tiny sharded batch on the local mesh, then exit")
+    ap.add_argument("--aot_dir", default=None,
+                    help="AOT-persist/reuse the compiled sampler here "
+                         "(serialize_executable; shape-specific)")
+    ap.add_argument("--compilation_cache", default=None,
+                    help="enable the JAX persistent compilation cache at "
+                         "this dir (do NOT use on the tunneled axon "
+                         "backend — its serialization path stalls)")
     args = ap.parse_args()
 
     import jax
 
-    if args.selftest and os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+    if args.compilation_cache:
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bench import build_flagship
     from prometheus_tpu.parallel import make_mesh
@@ -118,14 +207,31 @@ def main():
 
     pipe, _ = build_flagship(small=args.small)
     key = jax.random.PRNGKey(0)
-    # warm-up on the first batch size
     bs = min(args.batch_size, len(prompts))
+    compiled_sample = None
+    if args.aot_dir and n_dev > 1:
+        print("[serve] --aot_dir is single-device (per-chip serving); "
+              f"mesh has {n_dev} devices -> using the live jit path")
+        args.aot_dir = None
+    if args.aot_dir:
+        t0 = time.time()
+        aot_path = os.path.join(
+            args.aot_dir,
+            f"sampler_b{bs}_v{args.num_views}_s{args.num_steps}.aot")
+        hit = os.path.exists(aot_path)
+        compiled_sample = aot_sampler(
+            pipe, aot_path, batch_size=bs, num_views=args.num_views,
+            num_inference_steps=args.num_steps)
+        print(f"[serve] AOT sampler {'loaded' if hit else 'compiled+saved'} "
+              f"in {time.time()-t0:.1f}s ({aot_path})")
+    # warm-up on the first batch size
     t0 = time.time()
     out = generate_batch(pipe, prompts[:bs], key, mesh,
                          num_views=args.num_views,
                          num_inference_steps=args.num_steps,
                          render_size=args.render_size,
-                         image_size=pipe.mvldm.model.image_size)
+                         image_size=pipe.mvldm.model.image_size,
+                         compiled_sample=compiled_sample)
     jax.block_until_ready(out["images_gs_render"])
     warm = time.time() - t0
 
@@ -139,7 +245,8 @@ def main():
                              num_views=args.num_views,
                              num_inference_steps=args.num_steps,
                              render_size=args.render_size,
-                             image_size=pipe.mvldm.model.image_size)
+                             image_size=pipe.mvldm.model.image_size,
+                             compiled_sample=compiled_sample)
         jax.block_until_ready(out["images_gs_render"])
         done += len(chunk)
         if args.export_dir:

@@ -97,3 +97,70 @@ def test_urbangen_pkl_ingest(tmp_path):
                          sub_sample_rates={"nuscenes": 2})
     item = ds[0]
     assert item["images_mv"].shape == (4, 3, 32, 32)
+
+
+def _write_ascii_ply(path, points):
+    with open(path, "w") as fp:
+        fp.write("ply\nformat ascii 1.0\n"
+                 f"element vertex {len(points)}\n"
+                 "property float x\nproperty float y\nproperty float z\n"
+                 "end_header\n")
+        for p in points:
+            fp.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def test_co3d_proxy_depth(tmp_path):
+    """CO3D proxy-depth generation analog (reference tools/co3d/get_proxy.py
+    + get_coarse_depth.py): OBB ray-depth and hole-filled point-splat depth
+    from a synthetic sequence point cloud, through the real CLI function."""
+    from build_metadata import (co3d_proxy_depth, pca_obb, ray_box_depth,
+                                read_ply_points, remove_outliers)
+
+    rng = np.random.default_rng(0)
+    # unit-ish box of points at z in [4, 5] in front of an identity camera,
+    # plus gross outliers the z-score filter must drop
+    pts = rng.uniform([-1, -1, 4], [1, 1, 5], size=(2000, 3))
+    outliers = rng.uniform(50, 60, size=(5, 3))
+    all_pts = np.concatenate([pts, outliers]).astype(np.float32)
+
+    root = tmp_path / "co3d"
+    seq = root / "apple" / "seq1"
+    seq.mkdir(parents=True)
+    _write_ascii_ply(seq / "pointcloud.ply", all_pts)
+
+    # reader + outlier filter
+    loaded = read_ply_points(str(seq / "pointcloud.ply"))
+    assert loaded.shape == all_pts.shape
+    clean = remove_outliers(loaded)
+    assert len(clean) < len(loaded) and clean[:, 2].max() < 10
+
+    # identity OpenCV camera at origin looking down +z
+    H = W = 64
+    fx = fy = 60.0
+    cx = cy = 32.0
+    ann = {"apple/seq1": {
+        "frames": ["f0.jpg"],
+        "poses": [np.eye(4)[:3].tolist()],
+        "intrinsics": [[fx, fy, cx, cy]],
+        "captions": ["apple"]}}
+    ann_path = tmp_path / "ann.pkl"
+    with open(ann_path, "wb") as fp:
+        pickle.dump(ann, fp)
+
+    for mode in ("obb", "points"):
+        out_dir = tmp_path / f"depths_{mode}"
+        co3d_proxy_depth(str(root), str(ann_path), str(out_dir), mode=mode,
+                         depth_size=64)
+        new_ann = pickle.load(open(str(ann_path) + ".depth.pkl", "rb"))
+        rel = new_ann["apple/seq1"]["depths"][0]
+        d = np.load(out_dir / rel).astype(np.float32)
+        assert d.shape == (64, 64)
+        # center pixel looks straight at the cloud: depth ~= near face (z=4)
+        c = d[32, 32]
+        assert 3.0 < c < 5.2, (mode, c)
+        assert np.isfinite(d).all()
+
+    # direct OBB geometry check: ray through the center hits the box front
+    center, axes, half = pca_obb(clean)
+    d = ray_box_depth(np.eye(4), fx, fy, cx, cy, H, W, center, axes, half)
+    assert abs(d[32, 32] - 4.0) < 0.3

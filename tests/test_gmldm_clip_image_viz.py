@@ -37,7 +37,9 @@ def test_clip_image_encoder_shapes(key):
     imgs = jax.random.uniform(key, (2, 3, 32, 32), minval=-1, maxval=1)
     vars_ = enc.init(key, imgs)
     out = enc.apply(vars_, imgs)
-    assert out.shape == (2, 1 + 4, 32)  # cls + 2x2 patches
+    # pooled+projected image_embeds, one vector per image (the reference's
+    # CLIPVisionModelWithProjection(...).image_embeds, mv_ldm.py:159)
+    assert out.shape == (2, 32)
     assert bool(jnp.isfinite(out).all())
 
 

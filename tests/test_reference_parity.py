@@ -519,6 +519,62 @@ def test_clip_text_parity():
 
 
 # ---------------------------------------------------------------------------
+# CLIP vision tower — the reference's CLIPVisionModelWithProjection image
+# conditioning for image-to-3D (mv_ldm.py:72-82 construction,
+# encode_image_clip :134-163 incl. the bicubic align_corners+antialias
+# preprocessing)
+# ---------------------------------------------------------------------------
+
+def test_clip_vision_parity():
+    transformers = pytest.importorskip("transformers")
+    import torch.nn.functional as F
+
+    from prometheus_tpu.models.clip_image import (_CLIP_MEAN, _CLIP_STD,
+                                                  CLIPImageEncoder)
+    from prometheus_tpu.weight_maps import (apply_weight_map,
+                                            expected_torch_keys,
+                                            map_clip_vision)
+
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        projection_dim=32, hidden_act="gelu")
+    ref = transformers.CLIPVisionModelWithProjection(cfg).eval()
+    randomize_(ref, seed=11, scale=0.1)
+
+    # reference images in [-1,1], NOT 224-sized: exercises the resize too
+    rng = np.random.default_rng(0)
+    images = rng.uniform(-1, 1, size=(2, 3, 40, 40)).astype(np.float32)
+
+    # the reference's encode_image_clip preprocessing chain, in torch
+    with torch.no_grad():
+        px = F.interpolate(torch.from_numpy(images), (28, 28),
+                           mode="bicubic", align_corners=True,
+                           antialias=True)
+        px = (px + 1.0) / 2.0
+        px = (px - torch.from_numpy(_CLIP_MEAN)[:, None, None]) \
+            / torch.from_numpy(_CLIP_STD)[:, None, None]
+        out_ref = ref(px).image_embeds.numpy()
+
+    flax_enc = CLIPImageEncoder(image_size=28, patch=14, width=64,
+                                num_heads=4, num_layers=2, proj_dim=32,
+                                hidden_act="gelu")
+    v = flax_enc.init(jax.random.PRNGKey(0), jnp.asarray(images))
+    params = jax.tree.map(np.asarray, v["params"])
+    pairs = list(map_clip_vision(num_layers=2))
+    sd = to_np_sd(ref)
+    mapped, missing, unassigned = apply_weight_map(sd, pairs, params)
+    leftovers = {k for k in set(sd) - expected_torch_keys(pairs)
+                 if "position_ids" not in k}   # buffer, not a param
+    assert missing == [] and unassigned == [] and leftovers == set(), (
+        missing, unassigned, leftovers)
+
+    out = flax_enc.apply({"params": params}, jnp.asarray(images))
+    assert out.shape == out_ref.shape == (2, 32)
+    assert scaled_err(out, out_ref) < 2e-3
+
+
+# ---------------------------------------------------------------------------
 # LPIPS (VGG16) — the reference's `lpips` package (base_system.py:161-169)
 # ---------------------------------------------------------------------------
 

@@ -75,3 +75,33 @@ def tiny_pipeline_srv(key):
         gsdecoder=gsdec, gsdecoder_vars=gsdec_vars,
         gs_kwargs=dict(z_near=0.1, z_far=10.0),
     )
+
+
+def test_aot_sampler_roundtrip(tiny_pipeline_srv, tmp_path):
+    """AOT sampler persistence (serve.py cold-start story): compile+save,
+    reload from disk, and the deserialized executable produces the SAME
+    latents as the live jit for the same inputs."""
+    from serve import aot_sampler
+
+    pipe = tiny_pipeline_srv
+    path = str(tmp_path / "sampler.aot")
+    B, N, hw = 1, 2, 16
+    compiled = aot_sampler(pipe, path, batch_size=B, num_views=N,
+                           num_inference_steps=2, latent_hw=hw)
+    assert os.path.exists(path)
+    loaded = aot_sampler(pipe, path, batch_size=B, num_views=N,
+                         num_inference_steps=2, latent_hw=hw)
+
+    from prometheus_tpu.utils import get_random_cameras
+
+    key = jax.random.PRNGKey(3)
+    cams = get_random_cameras(key, N, size=32)[None].astype(jnp.float32)
+    txt = jax.random.normal(key, (B, 77, 64)) * 0.02
+    un = jnp.zeros((B, 77, 64))
+    lat_live = pipe.mvldm.sample(
+        pipe.mvldm_params, key, cams, txt, un, num_inference_steps=2,
+        guidance_scale=7.5, guidance_type="joint", cfg_rescale=0.7,
+        latent_hw=hw)
+    lat_aot = loaded(pipe.mvldm_params, key, cams, txt, un)
+    np.testing.assert_allclose(np.asarray(lat_aot), np.asarray(lat_live),
+                               atol=1e-5)

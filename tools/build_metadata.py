@@ -271,6 +271,188 @@ def co3d_annotations(root: str, out: str, categories: list | None = None):
     print(f"[metadata] co3d: {len(ann)} sequences -> {out}")
 
 
+# ---------------------------------------------------------------------------
+# CO3D proxy-depth generation (the analog of the reference's
+# tools/co3d/get_proxy.py:987-1110 + get_coarse_depth.py: per-sequence
+# pointcloud -> per-frame depth annotation for stage-1 training)
+# ---------------------------------------------------------------------------
+
+def read_ply_points(path: str) -> np.ndarray:
+    """Minimal PLY vertex reader (ascii / binary_little_endian), xyz only —
+    replaces the reference's trimesh.load (get_proxy.py:1056)."""
+    with open(path, "rb") as fp:
+        header = []
+        while True:
+            line = fp.readline().decode("ascii", "replace").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        n = int(next(l.split()[2] for l in header
+                     if l.startswith("element vertex")))
+        types = {"float": ("f4", 4), "float32": ("f4", 4),
+                 "double": ("f8", 8), "uchar": ("u1", 1),
+                 "uint8": ("u1", 1), "int": ("i4", 4), "uint": ("u4", 4),
+                 "short": ("i2", 2), "ushort": ("u2", 2)}
+        props = []
+        in_vertex = False
+        for l in header:
+            if l.startswith("element"):
+                in_vertex = l.startswith("element vertex")
+            elif l.startswith("property") and in_vertex:
+                _, t, name = l.split()[:3]
+                props.append((name, types[t][0]))
+        if fmt == "ascii":
+            rows = np.loadtxt(
+                path, skiprows=len(header), max_rows=n, dtype=np.float64,
+                usecols=range(len(props)))
+            rows = np.atleast_2d(rows)
+            idx = {name: i for i, (name, _) in enumerate(props)}
+            return np.stack([rows[:, idx[a]] for a in "xyz"],
+                            -1).astype(np.float32)
+        dt = np.dtype([(name, t) for name, t in props])
+        rows = np.frombuffer(fp.read(n * dt.itemsize), dtype=dt, count=n)
+        return np.stack([rows[a].astype(np.float32) for a in "xyz"], -1)
+
+
+def remove_outliers(points: np.ndarray, z_thresh: float = 2.0) -> np.ndarray:
+    """Z-score outlier rejection (reference get_proxy.py:161-170)."""
+    mean = points.mean(0)
+    std = points.std(0, ddof=1) + 1e-12
+    keep = (np.abs((points - mean) / std) < z_thresh).all(1)
+    return points[keep]
+
+
+def pca_obb(points: np.ndarray):
+    """PCA oriented bounding box: (center, axes rows (3,3), half_sizes).
+
+    The reference uses open3d's ``get_oriented_bounding_box``
+    (get_proxy.py:356) — also a PCA-frame box; extents here come from the
+    min/max of the points projected into the eigenframe."""
+    mean = points.mean(0)
+    cov = np.cov((points - mean).T)
+    _, vecs = np.linalg.eigh(cov)
+    axes = vecs.T                          # rows = box axes
+    local = (points - mean) @ axes.T
+    lo, hi = local.min(0), local.max(0)
+    center = mean + ((lo + hi) / 2.0) @ axes
+    half = (hi - lo) / 2.0
+    return center.astype(np.float32), axes.astype(np.float32), \
+        half.astype(np.float32)
+
+
+def ray_box_depth(c2w: np.ndarray, fx, fy, cx, cy, H: int, W: int,
+                  center, axes, half) -> np.ndarray:
+    """Per-pixel z-depth of the first OBB intersection (slab method) —
+    the analog of the reference's pytorch3d OBB-mesh depth render
+    (get_proxy.py:202-247). 0 where the ray misses."""
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    d_cam = np.stack([(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs)], -1)
+    R, t = c2w[:3, :3], c2w[:3, 3]
+    d_world = d_cam @ R.T                      # unnormalized: t == z-depth
+    o_local = (t - center) @ axes.T            # into the box frame
+    d_local = d_world @ axes.T                 # (H, W, 3)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / d_local
+        t0 = (-half - o_local) * inv
+        t1 = (half - o_local) * inv
+    tmin = np.minimum(t0, t1).max(-1)
+    tmax = np.maximum(t0, t1).min(-1)
+    hit = (tmax >= np.maximum(tmin, 0.0))
+    entry = np.where(tmin > 0, tmin, tmax)     # camera inside box -> exit
+    return np.where(hit, entry, 0.0).astype(np.float32)
+
+
+def point_splat_depth(points: np.ndarray, w2c: np.ndarray, fx, fy, cx, cy,
+                      H: int, W: int, splat: int = 1,
+                      fill_iters: int = 16) -> np.ndarray:
+    """Coarse z-buffer depth from the sequence point cloud — the analog of
+    the reference's point-rasterized coarse depth (get_coarse_depth.py):
+    nearest-point depth per pixel with a ``splat``-pixel footprint, holes
+    filled by iterative neighborhood-min dilation. 0 where never covered."""
+    pc = points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = pc[:, 2]
+    front = z > 1e-6
+    pc, z = pc[front], z[front]
+    u = np.round(pc[:, 0] / z * fx + cx - 0.5).astype(np.int64)
+    v = np.round(pc[:, 1] / z * fy + cy - 0.5).astype(np.int64)
+    depth = np.full((H, W), np.inf, np.float32)
+    for dv in range(-splat, splat + 1):
+        for du in range(-splat, splat + 1):
+            uu, vv = u + du, v + dv
+            ok = (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
+            np.minimum.at(depth, (vv[ok], uu[ok]), z[ok].astype(np.float32))
+    for _ in range(fill_iters):
+        holes = ~np.isfinite(depth)
+        if not holes.any():
+            break
+        p = np.pad(depth, 1, constant_values=np.inf)
+        neigh = np.stack([p[1:-1, :-2], p[1:-1, 2:], p[:-2, 1:-1],
+                          p[2:, 1:-1]], 0).min(0)
+        depth = np.where(holes, neigh, depth)
+    return np.where(np.isfinite(depth), depth, 0.0)
+
+
+def co3d_proxy_depth(root: str, annotation: str, out_dir: str,
+                     mode: str = "obb", depth_size: int = 256,
+                     categories: list | None = None):
+    """Generate per-frame proxy depth for CO3D sequences.
+
+    ``mode='obb'``: depth of the PCA oriented bounding box of the
+    (outlier-rejected) sequence point cloud — the reference get_proxy.py
+    pipeline. ``mode='points'``: hole-filled point-splat z-buffer — the
+    get_coarse_depth.py flavor. Writes ``<out_dir>/<cat>/<seq>/<k>.npy``
+    (fp16) and an updated annotation pkl (``<annotation>.depth.pkl``) whose
+    entries gain a ``depths`` file list.
+    """
+    with open(annotation, "rb") as fp:
+        ann = pickle.load(fp)
+    n_done = 0
+    for seq_key, meta in ann.items():
+        if categories and seq_key.split("/")[0] not in categories:
+            continue
+        ply = os.path.join(root, seq_key, "pointcloud.ply")
+        if not os.path.exists(ply):
+            continue
+        points = remove_outliers(read_ply_points(ply))
+        if mode == "obb":
+            center, axes, half = pca_obb(points)
+        depths = []
+        sdir = os.path.join(out_dir, seq_key)
+        os.makedirs(sdir, exist_ok=True)
+        for k, (pose, intr) in enumerate(zip(meta["poses"],
+                                             meta["intrinsics"])):
+            c2w = np.asarray(pose, np.float64)
+            if c2w.shape == (3, 4):
+                c2w = np.concatenate([c2w, [[0, 0, 0, 1]]], 0)
+            fx, fy, cx, cy = intr
+            # depth at a reduced working resolution (scaled intrinsics)
+            Himg = int(2 * cy)
+            Wimg = int(2 * cx)
+            s = depth_size / max(Himg, Wimg, 1)
+            H, W = max(int(round(Himg * s)), 1), max(int(round(Wimg * s)), 1)
+            if mode == "obb":
+                d = ray_box_depth(c2w, fx * s, fy * s, cx * s, cy * s,
+                                  H, W, center, axes, half)
+            elif mode == "points":
+                w2c = np.linalg.inv(c2w)
+                d = point_splat_depth(points, w2c, fx * s, fy * s,
+                                      cx * s, cy * s, H, W)
+            else:
+                raise ValueError(mode)
+            path = os.path.join(sdir, f"{k:05d}.npy")
+            np.save(path, d.astype(np.float16))
+            depths.append(os.path.relpath(path, out_dir))
+        meta["depths"] = depths
+        n_done += 1
+    out_ann = annotation + ".depth.pkl"
+    with open(out_ann, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] co3d-depth({mode}): {n_done} sequences -> {out_dir}; "
+          f"annotation {out_ann}")
+
+
 def blender_transforms(root: str, out: str, prompt_suffix: str = ""):
     """Blender/NeRF-synthetic object renders -> annotation format.
 
@@ -343,6 +525,16 @@ def main():
     s6.add_argument("--root", required=True)
     s6.add_argument("--out", required=True)
     s6.add_argument("--categories", nargs="*", default=None)
+    s8 = sub.add_parser(
+        "co3d-depth", help="CO3D per-frame proxy depth from sequence "
+                           "pointclouds (reference tools/co3d/get_proxy.py)")
+    s8.add_argument("--root", required=True)
+    s8.add_argument("--annotation", required=True,
+                    help="pkl produced by the 'co3d' subcommand")
+    s8.add_argument("--out", required=True)
+    s8.add_argument("--mode", choices=["obb", "points"], default="obb")
+    s8.add_argument("--depth_size", type=int, default=256)
+    s8.add_argument("--categories", nargs="*", default=None)
     s7 = sub.add_parser("blender", help="Blender/NeRF-synthetic renders "
                                         "(legacy ShapeNet/OmniObject3D)")
     s7.add_argument("--root", required=True)
@@ -361,6 +553,10 @@ def main():
         urbangen_pkl(args.annotation, args.out)
     elif args.cmd == "co3d":
         co3d_annotations(args.root, args.out, args.categories)
+    elif args.cmd == "co3d-depth":
+        co3d_proxy_depth(args.root, args.annotation, args.out,
+                         mode=args.mode, depth_size=args.depth_size,
+                         categories=args.categories)
     elif args.cmd == "blender":
         blender_transforms(args.root, args.out, args.prompt_suffix)
 

@@ -229,8 +229,22 @@ def main():
                 print("[train] WARNING: --render_loss without "
                       "--gsdecoder_ckpt renders through a random decoder")
             gs_frozen_vars = jax.lax.stop_gradient(gs_frozen_vars)
+            # reference rendering_loss_fn includes LPIPS with default
+            # weight 1 (mv_ldm_system.py:1083,1100-1110); experiments may
+            # zero it (mvldm_vpred_exp.yaml:60 does)
+            lambda_render_lpips = float(tr.get("lambda_gs_image_lpips", 1.0))
+            render_lpips_fn = None
+            if lambda_render_lpips:
+                from prometheus_tpu.models.lpips import make_lpips_fn
+                render_lpips_fn = make_lpips_fn(
+                    key, weights_path=cfg.get("lpips_weights"))
+                if not cfg.get("lpips_weights"):
+                    print("[train] WARNING: rendering-loss LPIPS uses "
+                          "random-init heads (set lpips_weights for the "
+                          "converted official VGG+lin weights)")
             gs_system = GSDecoderSystem(
-                model=gs_model, render_size=img if args.small else 256)
+                model=gs_model, render_size=img if args.small else 256,
+                lpips_fn=render_lpips_fn)
         sv_cam = dummy_sv_camera(img)
 
         def loss_fn(p, ms, batch, k):
@@ -250,7 +264,7 @@ def main():
                     batch["cameras_mv"], batch["images_mv"],
                     batch["depths_mv"], batch["cameras_mv"],
                     rendering_size=img if args.small else 256,
-                    lambda_lpips=0.0,
+                    lambda_lpips=lambda_render_lpips,
                     lambda_depth=float(tr.get("lambda_render_depth", 0.5)))
                 loss = loss + float(tr.get("lambda_render", 0.1)) * loss_r
                 metrics.update(m_r)
@@ -367,8 +381,13 @@ def main():
             from prometheus_tpu.models import MVLDMModel as _M
 
             # the CLIP text tower is frozen (reference mv_ldm.py:52) — embed
-            # with the restored params, jitted once, not the live train params
-            frozen_text_params = state.params
+            # with the restored params, jitted once, not the live train params.
+            # COPY the subtree: make_train_step donates state, so closing over
+            # the live buffers would dereference deleted arrays after step 0.
+            frozen_text_params = jax.tree.map(
+                jnp.copy,
+                {"params": {"text_encoder":
+                            state.params["params"]["text_encoder"]}})
 
             @jax.jit
             def encode_text_frozen(ids):
@@ -394,6 +413,21 @@ def main():
             if text_emb is not None:
                 out["text_emb"] = text_emb
                 out["uncond_text_emb"] = uncond
+            # joint MV + T2I batches from disk (JointDataset merging a
+            # Text2ImageDataset child): the reference trains mixed batches
+            # every step (mv_ldm_system.py:112-143) — pass the single-view
+            # images through with teacher depths and per-image text embeds
+            if args.stage == "mvldm" and "images_sv" in raw:
+                images_sv = jnp.asarray(raw["images_sv"])  # (B, M, 3, H, W)
+                Bs, M = images_sv.shape[:2]
+                texts = raw["text_sv"]  # list of B per-item caption lists
+                flat = [t for per_item in texts for t in per_item]
+                ids_sv = jnp.asarray(tokenizer(flat))      # (B*M, 77)
+                emb_sv = encode_text_frozen(ids_sv)
+                out["images_sv"] = images_sv
+                out["depths_sv"] = depth_fn(images_sv)
+                out["text_emb_sv"] = emb_sv.reshape(
+                    Bs, M, *emb_sv.shape[1:])
             return out
 
         def gen():
