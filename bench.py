@@ -143,7 +143,11 @@ def bench_train_step(pipe, *, batch_size=1, num_views=8):
     from prometheus_tpu.systems import MVLDMSystem
     from prometheus_tpu.utils import get_random_cameras
 
-    mv_model = pipe.mvldm.model.clone(use_checkpoint=True)
+    # BENCH_REMAT=dots: selective remat (save matmul outputs) — trades HBM
+    # for recompute FLOPs; A/B'd on-chip for the MFU target
+    mv_model = pipe.mvldm.model.clone(
+        use_checkpoint=True,
+        remat_policy=os.environ.get("BENCH_REMAT", "full"))
     system = MVLDMSystem(model=mv_model, schedule=pipe.mvldm.schedule,
                          num_pred_views=num_views)
     params = pipe.mvldm_params

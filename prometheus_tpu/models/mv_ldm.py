@@ -34,6 +34,7 @@ class MVLDMModel(nn.Module):
     context_dim: int = 1024
     disable_3d_attentions: tuple = (1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1)
     use_checkpoint: bool = True
+    remat_policy: str = "full"    # see MultiViewUNet.remat_policy
     # reduced-size knobs for tests
     channel_mult: tuple = (1, 2, 4, 4)
     num_res_blocks: int = 2
@@ -60,6 +61,7 @@ class MVLDMModel(nn.Module):
             context_dim=self.context_dim,
             disable_3d_attentions=self.disable_3d_attentions,
             use_checkpoint=self.use_checkpoint,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
         )
         self.vae = AutoencoderKL(

@@ -206,6 +206,10 @@ class MultiViewUNet(nn.Module):
     transformer_depth: int = 1
     disable_3d_attentions: Sequence[int] = (1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1)
     use_checkpoint: bool = True
+    # 'full' recomputes everything in the backward (min memory, ~1.3x fwd
+    # FLOPs); 'dots' saves matmul outputs and recomputes only elementwise
+    # chains (the usual TPU MFU sweet spot when HBM allows)
+    remat_policy: str = "full"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -222,9 +226,15 @@ class MultiViewUNet(nn.Module):
         emb = TimeEmbed(4 * self.model_channels, dtype=self.dtype,
                         name="time_embed")(t_emb.astype(self.dtype))
 
-        st_cls = nn.remat(SpatialTransformer3D) if self.use_checkpoint \
-            else SpatialTransformer3D
-        res_cls = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        if self.use_checkpoint:
+            kw = {}
+            if self.remat_policy == "dots":
+                kw["policy"] = \
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            st_cls = nn.remat(SpatialTransformer3D, **kw)
+            res_cls = nn.remat(ResBlock, **kw)
+        else:
+            st_cls, res_cls = SpatialTransformer3D, ResBlock
         attn_site = [0]
 
         def attn(ch, name):

@@ -164,3 +164,83 @@ def test_co3d_proxy_depth(tmp_path):
     center, axes, half = pca_obb(clean)
     d = ray_box_depth(np.eye(4), fx, fy, cx, cy, H, W, center, axes, half)
     assert abs(d[32, 32] - 4.0) < 0.3
+
+
+def test_dl3dv_download_and_unzip(tmp_path):
+    """download_dl3dv against a file:// mirror fixture: list building mirrors
+    the reference's batch/hash layout (download.py:116-171), zips are
+    fetched, extracted, and removed; unzip handles a dir of scene zips."""
+    import zipfile
+
+    from download_dl3dv import build_download_list, download, unzip_dir
+
+    # meta csv + a fake scene zip served via file://
+    meta = tmp_path / "DL3DV-valid.csv"
+    meta.write_text("hash,batch\nabc123,1K\ndef456,2K\n")
+    mirror = tmp_path / "mirror" / "DL3DV" / "DL3DV-ALL-960P" / "1K"
+    mirror.mkdir(parents=True)
+    scene_zip = mirror / "abc123.zip"
+    with zipfile.ZipFile(scene_zip, "w") as zf:
+        zf.writestr("abc123/images_4/frame_00001.png", b"fakepng")
+        zf.writestr("abc123/transforms.json", "{}")
+
+    items = build_download_list(str(meta), "1K", "", "960P", "images+poses")
+    assert items == [{"repo": "DL3DV/DL3DV-ALL-960P",
+                      "rel_path": "1K/abc123.zip"}]
+    # single-hash mode ignores the subset
+    items_h = build_download_list(str(meta), "1K", "def456", "480P",
+                                  "images+poses")
+    assert items_h[0]["rel_path"] == "2K/def456.zip"
+
+    out = tmp_path / "out"
+    tmpl = f"file://{tmp_path}/mirror/" + "{repo}/{rel_path}"
+    assert download(items, str(out), tmpl) == 1
+    assert (out / "1K" / "abc123" / "transforms.json").exists()
+    assert not (out / "1K" / "abc123.zip").exists()  # removed after unzip
+
+    # unzip_dir flavor
+    zips = tmp_path / "zips"
+    zips.mkdir()
+    with zipfile.ZipFile(zips / "s.zip", "w") as zf:
+        zf.writestr("sceneX/f.txt", "x")
+    out2 = tmp_path / "out2"
+    unzip_dir(str(zips), str(out2))
+    assert (out2 / "sceneX" / "f.txt").exists()
+
+
+def test_generate_depths_cli(tmp_path):
+    """tools/generate_depths.py end to end with the luminance proxy teacher
+    (the DA-v2 path differs only in the depth_fn, parity-tested elsewhere)."""
+    import subprocess
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "frames"
+    (root / "sceneA").mkdir(parents=True)
+    frames = []
+    for i in range(3):
+        f = f"sceneA/f{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(root / f)
+        frames.append(f)
+    ann = {"sceneA": {"frames": frames, "poses": [np.eye(4)[:3].tolist()] * 3,
+                      "intrinsics": [[50, 50, 20, 20]] * 3,
+                      "captions": ["a scene"]}}
+    ann_path = tmp_path / "ann.pkl"
+    with open(ann_path, "wb") as fp:
+        pickle.dump(ann, fp)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "generate_depths.py"),
+         "--root", str(root), "--annotation", str(ann_path),
+         "--out", str(tmp_path / "depths"), "--size", "32", "--batch", "2"],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    new_ann = pickle.load(open(str(ann_path) + ".depth.pkl", "rb"))
+    depths = new_ann["sceneA"]["depths"]
+    assert len(depths) == 3
+    d = np.load(tmp_path / "depths" / depths[0]).astype(np.float32)
+    assert d.shape == (32, 32)
+    assert 0.0 <= d.min() and d.max() <= 1.0

@@ -387,14 +387,13 @@ def test_trajdit_parity():
     x = rng.normal(size=(2, 29, 11)).astype(np.float32)
     y = rng.normal(size=(2, 7, 64)).astype(np.float32)  # post-y_embedder dim
     t = np.asarray([10.0, 500.0], np.float32)
-    with torch.no_grad():  # forward: traj_dit_system.py:195-203 (y is
-        # already the embedded text in the reference training loop)
-        xb = ref.in_block(torch.from_numpy(x)) + ref.pos_embed
-        tb = ref.t_embedder(torch.from_numpy(t))
-        hb = xb
-        for block in ref.blocks:
-            hb = block(hb, torch.from_numpy(y), tb)
-        out_ref = ref.out_block(hb).numpy()
+    with torch.no_grad():
+        # the reference model's OWN top-level forward (traj_dit_system.py:
+        # 195-203; y is the already-embedded text — encode_text applies
+        # y_embedder before forward): this catches assembly disagreements
+        # a manual block-drive would not (VERDICT r2 weak #10)
+        out_ref = ref(torch.from_numpy(x), torch.from_numpy(y),
+                      torch.from_numpy(t)).numpy()
 
     flax_traj = TrajDiTModel(hidden_size=64, num_blocks=2, num_heads=4,
                              text_dim=64)
