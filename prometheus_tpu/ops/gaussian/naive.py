@@ -10,10 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .projection import Projected
-
-ALPHA_CUTOFF = 1.0 / 255.0
-MAX_ALPHA = 0.999
+from .projection import ALPHA_CUTOFF, MAX_ALPHA, Projected  # noqa: F401
+# (cutoffs live in projection.py so the opacity-aware radius shares them)
 
 
 def composite_exact_pixels(

@@ -197,27 +197,29 @@ def _pallas_backward(data, gout, counts, img_h, img_w, tile_size, capacity,
 # custom-VJP compositor
 # ---------------------------------------------------------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def composite_pallas_diff(mean2d, conic, depth, radius, validf, colors,
                           opacities, img_h, img_w, tile_size, capacity,
-                          max_tiles, interpret):
+                          max_tiles, interpret, s_max):
     """Differentiable Pallas compositor over pre-projected gaussians.
 
     ``radius``/``validf`` (float 0/1 mask) only gate binning; their
     gradients are zero. Returns (rgb, expected_depth, alpha)."""
     out, _ = _fwd(mean2d, conic, depth, radius, validf, colors, opacities,
-                  img_h, img_w, tile_size, capacity, max_tiles, interpret)
+                  img_h, img_w, tile_size, capacity, max_tiles, interpret,
+                  s_max)
     return out
 
 
 def _fwd(mean2d, conic, depth, radius, validf, colors, opacities, img_h,
-         img_w, tile_size, capacity, max_tiles, interpret):
+         img_w, tile_size, capacity, max_tiles, interpret, s_max):
     """Bin ONCE; save the binned worklists + segment indices + forward
     outputs as residuals so the backward never re-sorts or re-gathers
     (the binning sort dominates the stage at production density)."""
     proj = Projected(mean2d, conic, depth, radius, validf > 0.5)
     idx, in_seg, counts = sorted_tile_segments(proj, img_h, img_w, tile_size,
-                                               capacity, max_tiles)
+                                               capacity, max_tiles, s_max,
+                                               opacities=opacities)
     data = gather_rows(proj, colors, opacities, idx, in_seg)
     rgb, dep, acc_a = run_compositor_kernel(data, counts, img_h, img_w,
                                             tile_size, capacity, interpret)
@@ -225,7 +227,8 @@ def _fwd(mean2d, conic, depth, radius, validf, colors, opacities, img_h,
     return (rgb, dep, acc_a), (data, idx, in_seg, counts, dep, acc_a, mean2d)
 
 
-def _bwd(img_h, img_w, tile_size, capacity, max_tiles, interpret, res, gouts):
+def _bwd(img_h, img_w, tile_size, capacity, max_tiles, interpret, s_max,
+         res, gouts):
     data, idx, in_seg, counts, dep, acc_a, mean2d = res
     n = mean2d.shape[0]
     g_rgb, g_dep, g_alpha = gouts
@@ -278,9 +281,10 @@ def composite_tiled_pallas_grad(proj: Projected, colors, opacities,
                                 img_h, img_w, tile_size: int = 16,
                                 capacity: int = 512,
                                 max_tiles: tuple = (4, 4),
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                s_max: int | None = None):
     """Differentiable entry point matching ``composite_tiled``'s signature."""
     return composite_pallas_diff(
         proj.mean2d, proj.conic, proj.depth, proj.radius,
         proj.valid.astype(jnp.float32), colors, opacities,
-        img_h, img_w, tile_size, capacity, max_tiles, interpret)
+        img_h, img_w, tile_size, capacity, max_tiles, interpret, s_max)

@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .naive import ALPHA_CUTOFF, MAX_ALPHA
 from .projection import Projected
-from .tiled import _tile_instances, sort_tile_instances
+from .tiled import (_tile_instances, default_instance_budget,
+                    sort_tile_instances)
 
 CHUNK = 128
 # f32-accurate MXU passes: the default bf16 input rounding of the MXU puts
@@ -47,7 +48,7 @@ N_CH = 16  # padded to a TPU-friendly sublane count
 
 
 def sorted_tile_segments(proj: Projected, img_h, img_w, tile_size, capacity,
-                         max_tiles):
+                         max_tiles, s_max=None, opacities=None):
     """Instance sort -> per-tile worklist indices.
 
     One fused-u32-key sort orders instances by (tile, quantized depth) —
@@ -59,8 +60,11 @@ def sorted_tile_segments(proj: Projected, img_h, img_w, tile_size, capacity,
     """
     grid_h, grid_w = img_h // tile_size, img_w // tile_size
     n_tiles = grid_h * grid_w
+    if s_max is None:
+        s_max = default_instance_budget(proj.mean2d.shape[0])
     tile_id, depth_key, gauss_idx = _tile_instances(
-        proj, tile_size, grid_w, grid_h, max_tiles)
+        proj, tile_size, grid_w, grid_h, max_tiles, s_max,
+        opacities=opacities)
     sorted_tile, sorted_gauss = sort_tile_instances(
         tile_id, depth_key, gauss_idx, n_tiles)
     r = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -98,12 +102,13 @@ def gather_rows(proj: Projected, colors, opacities, g, in_seg):
 
 
 def bin_and_gather(proj: Projected, colors, opacities, img_h, img_w,
-                   tile_size=16, capacity=512, max_tiles=(4, 4)):
+                   tile_size=16, capacity=512, max_tiles=(4, 4), s_max=None):
     """Sort-and-gather the per-tile worklists.
 
     Returns ``(data (T, 16, K), counts (T,))``."""
     g, in_seg, counts = sorted_tile_segments(proj, img_h, img_w, tile_size,
-                                             capacity, max_tiles)
+                                             capacity, max_tiles, s_max,
+                                             opacities=opacities)
     return gather_rows(proj, colors, opacities, g, in_seg), counts
 
 
@@ -211,15 +216,16 @@ def run_compositor_kernel(data, counts, img_h, img_w, tile_size: int = 16,
 
 
 @partial(jax.jit, static_argnames=("img_h", "img_w", "tile_size", "capacity",
-                                   "max_tiles", "interpret"))
+                                   "max_tiles", "interpret", "s_max"))
 def composite_tiled_pallas(proj: Projected, colors, opacities, img_h, img_w,
                            tile_size: int = 16, capacity: int = 512,
-                           max_tiles: tuple = (4, 4), interpret: bool = False):
+                           max_tiles: tuple = (4, 4), interpret: bool = False,
+                           s_max: int | None = None):
     """Pallas-accelerated analog of ``composite_tiled`` (forward only).
 
     Returns ``(rgb (H,W,3), expected_depth (H,W), alpha (H,W))``.
     """
     data, counts = bin_and_gather(proj, colors, opacities, img_h, img_w,
-                                  tile_size, capacity, max_tiles)
+                                  tile_size, capacity, max_tiles, s_max)
     return run_compositor_kernel(data, counts, img_h, img_w, tile_size,
                                  capacity, interpret)

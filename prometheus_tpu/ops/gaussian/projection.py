@@ -28,6 +28,12 @@ from ...utils.quaternion import quaternion_to_matrix
 EPS2D = 0.3
 # Mahalanobis cutoff used for the bounding radius (3 sigma).
 RADIUS_CUTOFF = 3.0
+# Compositing cutoffs (shared by every compositor; naive.py re-exports).
+# Contributions with alpha below ALPHA_CUTOFF are zeroed, which makes an
+# opacity-aware bounding radius EXACT: beyond r with op*exp(-r^2/2v) =
+# ALPHA_CUTOFF a splat contributes exactly nothing.
+ALPHA_CUTOFF = 1.0 / 255.0
+MAX_ALPHA = 0.999
 
 
 class Projected(NamedTuple):
@@ -59,8 +65,22 @@ def project_gaussians(
     near: float = 0.01,
     far: float = 1e10,
     eps2d: float = EPS2D,
+    opacities: jax.Array | None = None,  # (N,) -> opacity-aware radius
 ) -> Projected:
-    """Project gaussians into one camera. Returns screen-space params."""
+    """Project gaussians into one camera. Returns screen-space params.
+
+    With ``opacities`` given, the bounding radius solves
+    ``op * exp(-r^2 / (2 * lambda_max)) = ALPHA_CUTOFF`` instead of the fixed
+    3-sigma cutoff: transparent splats shrink (their 3-sigma skirt is below
+    the cutoff every compositor applies, so nothing visible is lost), fully
+    opaque ones grow slightly (to ~3.33 sigma, where their contribution
+    truly falls under the cutoff), and splats with ``op <= ALPHA_CUTOFF``
+    are culled outright. This keeps tile binning EXACT w.r.t. the cutoff
+    semantics while cutting instance counts in the transparent-heavy
+    regimes trained models produce. The radius only gates binning and is
+    never differentiated; sub-cutoff splats already received zero gradient
+    from the compositors' alpha cutoff, so culling them changes nothing.
+    """
     R = w2c[:3, :3]
     t = w2c[:3, 3]
     p_cam = means3d @ R.T + t  # (N, 3)
@@ -118,7 +138,14 @@ def project_gaussians(
     # Bounding radius from the largest eigenvalue of cov2d.
     b = 0.5 * (cov00 + cov11)
     v1 = b + jnp.sqrt(jnp.maximum(b * b - det, 0.01))
-    radius = RADIUS_CUTOFF * jnp.sqrt(v1)
+    if opacities is None:
+        radius = RADIUS_CUTOFF * jnp.sqrt(v1)
+    else:
+        op = jax.lax.stop_gradient(opacities)
+        k = jnp.sqrt(jnp.maximum(2.0 * jnp.log(
+            jnp.maximum(op, 1e-12) / ALPHA_CUTOFF), 0.0))
+        radius = k * jnp.sqrt(v1)
+        valid = valid & (op > ALPHA_CUTOFF)
     # Cull gaussians fully outside the image.
     inside = (
         (mean2d[..., 0] + radius > 0)

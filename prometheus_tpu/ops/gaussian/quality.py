@@ -41,7 +41,7 @@ def _camera_setup(camera, h, w):
 
 @partial(jax.jit, static_argnames=("h", "w", "tile_size", "tile_capacity",
                                    "max_tiles", "n_sample_tiles", "backend",
-                                   "near", "chunk"))
+                                   "near", "chunk", "s_max"))
 def psnr_vs_exact(
     camera: jax.Array,      # (18,) one view
     gaussians,              # single-scene tuple (xyz (P,3), features (P,1,3),
@@ -51,11 +51,12 @@ def psnr_vs_exact(
     w: int = 512,
     tile_size: int = 16,
     tile_capacity: int = 1024,
-    max_tiles: tuple = (8, 8),
+    max_tiles: tuple = (32, 32),
     n_sample_tiles: int = 48,
     backend: str = "xla",
     near: float = 0.01,
     chunk: int = 4096,
+    s_max: int | None = None,
 ):
     """PSNR (dB, on [-1,1] images => data range 2) of the production render
     vs the exact compositor over ``n_sample_tiles`` random tiles.
@@ -69,19 +70,19 @@ def psnr_vs_exact(
     opac = opacity[..., 0]
     w2c, fx, fy, cx, cy = _camera_setup(camera, h, w)
     proj = project_gaussians(xyz, scales, rotations, w2c, fx, fy, cx, cy,
-                             h, w, near=near)
+                             h, w, near=near, opacities=opac)
 
     if backend == "pallas":
         from .pallas_backward import composite_tiled_pallas_grad
 
         rgb, _, alpha = composite_tiled_pallas_grad(
             proj, colors, opac, h, w, tile_size=tile_size,
-            capacity=tile_capacity, max_tiles=max_tiles)
+            capacity=tile_capacity, max_tiles=max_tiles, s_max=s_max)
     else:
         rgb, _, alpha = composite_tiled(
             proj, colors, opac, h, w, tile_size=tile_size,
             tile_capacity=tile_capacity, max_tiles_y=max_tiles[0],
-            max_tiles_x=max_tiles[1])
+            max_tiles_x=max_tiles[1], s_max=s_max)
 
     bg = jnp.asarray(DEFAULT_BACKGROUND, jnp.float32)
     img_prod = (rgb + (1.0 - alpha[..., None]) * bg) * 2.0 - 1.0  # (H,W,3)

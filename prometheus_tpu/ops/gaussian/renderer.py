@@ -27,7 +27,7 @@ DEFAULT_BACKGROUND = (1.0, 1.0, 1.0)
 
 def _render_one_view(
     camera, xyz, colors, opacity, scales, rotations,
-    h, w, tile_size, tile_capacity, max_tiles, near, backend,
+    h, w, tile_size, tile_capacity, max_tiles, near, backend, s_max,
 ):
     """Render one camera (18-dim vector) of one scene's gaussians."""
     c2w = camera_c2w(camera)
@@ -36,20 +36,21 @@ def _render_one_view(
     w2c = jnp.linalg.inv(c2w_cv)
     fx, fy, cx, cy, _, _ = camera_intrinsics(camera, h=h, w=w)
     proj = project_gaussians(
-        xyz, scales, rotations, w2c, fx, fy, cx, cy, h, w, near=near
+        xyz, scales, rotations, w2c, fx, fy, cx, cy, h, w, near=near,
+        opacities=opacity,
     )
     if backend == "pallas":  # Pallas fwd+bwd kernels (differentiable)
         from .pallas_backward import composite_tiled_pallas_grad
 
         rgb, depth, alpha = composite_tiled_pallas_grad(
             proj, colors, opacity, h, w, tile_size=tile_size,
-            capacity=tile_capacity, max_tiles=max_tiles,
+            capacity=tile_capacity, max_tiles=max_tiles, s_max=s_max,
         )
     else:
         rgb, depth, alpha = composite_tiled(
             proj, colors, opacity, h, w,
             tile_size=tile_size, tile_capacity=tile_capacity,
-            max_tiles_y=max_tiles[0], max_tiles_x=max_tiles[1],
+            max_tiles_y=max_tiles[0], max_tiles_x=max_tiles[1], s_max=s_max,
         )
     return rgb, depth, alpha
 
@@ -57,7 +58,7 @@ def _render_one_view(
 @partial(
     jax.jit,
     static_argnames=("h", "w", "tile_size", "tile_capacity", "max_tiles",
-                     "near", "backend"),
+                     "near", "backend", "s_max"),
 )
 def render_gaussians(
     cameras: jax.Array,  # (B, N, 18)
@@ -68,12 +69,16 @@ def render_gaussians(
     bg_color=None,       # (3,) in [0,1]; None -> white
     tile_size: int = 16,
     tile_capacity: int = 1024,
-    # big-path window of the hierarchical binning (tiled._tile_instances):
-    # splats spanning up to 8x8 tiles composite exactly, at 4+overhead
-    # instances per gaussian instead of a dense 16x
-    max_tiles: tuple = (8, 8),
+    # per-gaussian covered-tile window clamp of the exact-expansion binning
+    # (tiled._tile_instances), centered on the splat mean. (32, 32) = never
+    # clamped at 512^2 render; the s_max instance budget is the real bound.
+    max_tiles: tuple = (32, 32),
     near: float = 0.01,
     backend: str = "auto",  # 'auto' | 'xla' | 'pallas' (both differentiable)
+    # static instance budget of the exact expansion; None -> 6x gaussians
+    # (tiled.default_instance_budget). Overflow drops the least-opaque
+    # splats whole.
+    s_max: int | None = None,
 ):
     """Returns ``(images (B,N,3,h,w) in [-1,1], depths (B,N,1,h,w),
     masks (B,N,1,h,w))`` — the reference renderer's output contract.
@@ -95,7 +100,7 @@ def render_gaussians(
     view_fn = partial(
         _render_one_view,
         h=h, w=w, tile_size=tile_size, tile_capacity=tile_capacity,
-        max_tiles=max_tiles, near=near, backend=backend,
+        max_tiles=max_tiles, near=near, backend=backend, s_max=s_max,
     )
     # vmap over views (gaussians broadcast), then over batch.
     per_scene = jax.vmap(view_fn, in_axes=(0, None, None, None, None, None))

@@ -4,9 +4,11 @@ TPU-first redesign of the reference's external CUDA rasterizer (gsplat): the
 per-(batch, view) Python loop and dynamic per-tile worklists of the CUDA
 implementation become static-shape, fully-vectorized XLA:
 
-1. **Binning**: each projected gaussian is expanded into at most
-   ``max_tiles_per_gaussian`` tile-instances (static cap); instances are
-   sorted by ``(tile_id, depth)`` with one XLA lexicographic sort.
+1. **Binning**: exact compact expansion — each projected gaussian owns a
+   contiguous slot range (exclusive cumsum of its covered-tile count,
+   clamped to a centered ``max_tiles`` window) inside a static ``s_max``
+   instance budget, decoded slot->gaussian with a scatter + cumulative max;
+   instances are sorted by ``(tile_id, depth)`` with one fused-key u32 sort.
 2. **Segmenting**: per-tile segment starts come from a searchsorted over the
    sorted tile ids; each tile keeps its nearest ``tile_capacity`` instances
    (depth-sorted truncation approximates the CUDA early-termination: dropped
@@ -41,111 +43,133 @@ def _tile_bbox(proj: Projected, tile_size: int, grid_w: int, grid_h: int):
     return x0, x1, y0, y1
 
 
-def _expand_window(x0, x1, y0, y1, valid, depth, gauss_idx, window,
-                   grid_w, grid_h):
-    """Broadcast-expand a ``window=(wy, wx)`` tile neighborhood anchored at
-    each gaussian's bbox top-left into flat (tile_id, depth, idx) instances.
-
-    Broadcast (N, wy, wx)-then-flatten is the fast layout: an interleaved
-    flat ``jnp.repeat`` was tried and is ~45x SLOWER on v5e at 8.4M
-    instances (943 ms vs 21 ms, measured with a real device-fetch sync)
-    because each output element becomes a gathered computed-index read,
-    while the broadcast form is pure lane-replication.
-    """
-    wy, wx = window
-    dy = jnp.arange(wy, dtype=jnp.int32)
-    dx = jnp.arange(wx, dtype=jnp.int32)
-    ty = y0[:, None, None] + dy[None, :, None]   # (N, wy, 1)
-    tx = x0[:, None, None] + dx[None, None, :]   # (N, 1, wx)
-    ok = (
-        valid[:, None, None]
-        & (ty <= y1[:, None, None])
-        & (tx <= x1[:, None, None])
-    )
-    tile_id = jnp.where(ok, ty * grid_w + tx, grid_w * grid_h).astype(jnp.int32)
-    idx = jnp.broadcast_to(gauss_idx[:, None, None], tile_id.shape)
-    dep = jnp.broadcast_to(depth[:, None, None], tile_id.shape)
-    return tile_id.reshape(-1), dep.reshape(-1), idx.reshape(-1)
+def _clamped_windows(proj: Projected, tile_size: int, grid_w: int,
+                     grid_h: int, max_tiles: tuple[int, int]):
+    """Per-gaussian covered-tile windows, clamped to ``max_tiles`` CENTERED
+    on the splat mean (the brightest region survives a clamp, not the bbox's
+    top-left corner). Returns ``(ex0, ey0, wx, wy)``; window = exact bbox
+    whenever it fits inside ``max_tiles``."""
+    wy_cap, wx_cap = max_tiles
+    x0, x1, y0, y1 = _tile_bbox(proj, tile_size, grid_w, grid_h)
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+    wx = jnp.minimum(nx, wx_cap)
+    wy = jnp.minimum(ny, wy_cap)
+    cxt = jnp.clip(jnp.floor(proj.mean2d[:, 0] / tile_size), 0,
+                   grid_w - 1).astype(jnp.int32)
+    cyt = jnp.clip(jnp.floor(proj.mean2d[:, 1] / tile_size), 0,
+                   grid_h - 1).astype(jnp.int32)
+    ex0 = jnp.clip(cxt - wx // 2, x0, x1 - wx + 1)
+    ey0 = jnp.clip(cyt - wy // 2, y0, y1 - wy + 1)
+    return ex0, ey0, wx, wy
 
 
 def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
-                    max_tiles: tuple[int, int], big_cap: int = 4096):
-    """Expand gaussians into (tile_id, depth, gaussian_idx) instances.
+                    max_tiles: tuple[int, int], s_max: int,
+                    opacities: jax.Array | None = None):
+    """Expand gaussians into (tile_id, depth, gaussian_idx) instances —
+    EXACT compact expansion (the static-shape TPU answer to the CUDA
+    rasterizer's per-gaussian worklists, matching its exact duplication
+    semantics instead of approximating them with fixed per-class windows):
 
-    Hierarchical two-level expansion (the static-shape TPU answer to the
-    CUDA rasterizer's exact per-gaussian worklists):
+    1. Each gaussian's covered-tile window is its exact bbox, clamped to
+       ``max_tiles`` centered on the splat mean.
+    2. An exclusive cumsum of the window areas assigns each gaussian a
+       contiguous slot range inside a STATIC ``s_max`` instance budget;
+       slot -> gaussian is decoded with one scatter of range starts plus a
+       cumulative max (``associative_scan``) — O(s_max), no searchsorted.
+    3. Gaussians are laid out in DESCENDING-opacity order, so if the scene
+       needs more than ``s_max`` instances the budget cut drops the least
+       visible splats whole (principled pruning), not arbitrary indices.
 
-    - **small path**: every gaussian gets a 2x2 tile window anchored at its
-      bbox top-left. Pixel-aligned gaussians (bbox <= one tile span) are
-      covered exactly; this is 4 instances/gaussian instead of a
-      ``ty_cap*tx_cap`` blow-up, which dominates the binning sort cost.
-    - **big path**: the (rare) gaussians covering more than 2 tiles in
-      either dim are selected (one N-length sort) into a ``big_cap`` static
-      budget and expanded over the full ``max_tiles`` window; big gaussians
-      beyond the budget fall back to their truncated 2x2 window.
+    Instance count = TRUE coverage (no 4x-everything small path, no
+    budget-selected big path): cheaper than the old hierarchical scheme on
+    well-behaved scenes, and exact — the round-2 scheme's big-splat
+    failure mode (budget overflow -> top-left-anchored 2x2 fallback) cost
+    ~40 dB vs the exact compositor at production density.
 
-    ``max_tiles = (ty_cap, tx_cap)`` is the big-path window. When it is
-    <= (2, 2) only the single-level small path runs (window = max_tiles).
-    Returns flat arrays of length ``N*4 + big_cap*ty_cap*tx_cap``; invalid
-    instances get tile_id = grid_w * grid_h (sorted to the end).
+    Returns flat ``(tile_id, depth, gauss_idx)`` of length ``s_max``;
+    unused slots get tile_id = grid_w * grid_h (sorted to the end).
     """
     n = proj.mean2d.shape[0]
-    ty_cap, tx_cap = max_tiles
-    x0, x1, y0, y1 = _tile_bbox(proj, tile_size, grid_w, grid_h)
-    gauss_idx = jnp.arange(n, dtype=jnp.int32)
+    ex0, ey0, wx, wy = _clamped_windows(proj, tile_size, grid_w, grid_h,
+                                        max_tiles)
+    cover = jnp.where(proj.valid, wx * wy, 0).astype(jnp.int32)
 
-    if ty_cap <= 2 and tx_cap <= 2:
-        return _expand_window(x0, x1, y0, y1, proj.valid, proj.depth,
-                              gauss_idx, (ty_cap, tx_cap), grid_w, grid_h)
+    if opacities is None:
+        order = jnp.arange(n, dtype=jnp.int32)
+    else:
+        op = jax.lax.stop_gradient(opacities).astype(jnp.float32)
+        _, order = jax.lax.sort((-jnp.where(jnp.isfinite(op), op, 0.0),
+                                 jnp.arange(n, dtype=jnp.int32)), num_keys=1)
 
-    big_cap = min(big_cap, n)
-    is_big = proj.valid & ((y1 - y0 >= 2) | (x1 - x0 >= 2))
+    cover_o = cover[order]
+    ends = jnp.cumsum(cover_o)
+    starts = ends - cover_o                       # exclusive prefix
+    total = ends[-1]
 
-    # big path: compact the big indices with one stable N-length sort (big
-    # first, in index order); budget selection = position < big_cap. A tiny
-    # big_cap-element scatter marks the selected — no N-length cumsum.
-    _, sel_all = jax.lax.sort(
-        ((~is_big).astype(jnp.int32), gauss_idx), num_keys=1)
-    sel_idx = sel_all[:big_cap]
-    sel_ok = jnp.arange(big_cap, dtype=jnp.int32) \
-        < jnp.sum(is_big.astype(jnp.int32))
-    selected = jnp.zeros((n,), jnp.bool_).at[sel_idx].set(
-        sel_ok, mode="drop")
+    # slot j -> position p in the ordered layout: scatter each covered
+    # gaussian's position at its range start, then a running max fills the
+    # ranges (later positions win ties from zero-cover predecessors).
+    pos = jnp.arange(n, dtype=jnp.int32)
+    marks = jnp.zeros((s_max,), jnp.int32).at[
+        jnp.where(cover_o > 0, starts, s_max)].max(pos, mode="drop")
+    p_of_slot = jax.lax.associative_scan(jnp.maximum, marks)
 
-    # small path: everything except the big-selected (budget-overflow big
-    # gaussians stay here with a truncated 2x2 window rather than vanishing)
-    tid_s, dep_s, idx_s = _expand_window(
-        x0, x1, y0, y1, proj.valid & ~selected, proj.depth, gauss_idx,
-        (2, 2), grid_w, grid_h)
-    tid_b, dep_b, idx_b = _expand_window(
-        x0[sel_idx], x1[sel_idx], y0[sel_idx], y1[sel_idx], sel_ok,
-        proj.depth[sel_idx], sel_idx, (ty_cap, tx_cap), grid_w, grid_h)
+    # pack per-position decode data once -> ONE s_max-row gather (all
+    # values < 2^24 so f32 carries them exactly)
+    deco = jnp.stack([
+        starts.astype(jnp.float32),
+        ex0[order].astype(jnp.float32),
+        ey0[order].astype(jnp.float32),
+        jnp.maximum(wx[order], 1).astype(jnp.float32),
+        jnp.where(jnp.isfinite(proj.depth[order]), proj.depth[order], 0.0),
+        order.astype(jnp.float32),
+    ], axis=1)                                    # (N, 6)
+    rows = deco[p_of_slot]                        # (s_max, 6)
 
-    return (jnp.concatenate([tid_s, tid_b]),
-            jnp.concatenate([dep_s, dep_b]),
-            jnp.concatenate([idx_s, idx_b]))
+    j = jnp.arange(s_max, dtype=jnp.int32)
+    l = j - rows[:, 0].astype(jnp.int32)
+    w_i = rows[:, 3].astype(jnp.int32)
+    ty = rows[:, 2].astype(jnp.int32) + l // w_i
+    tx = rows[:, 1].astype(jnp.int32) + l % w_i
+    ok = j < total
+    tile_id = jnp.where(ok, ty * grid_w + tx,
+                        grid_w * grid_h).astype(jnp.int32)
+    return tile_id, rows[:, 4], rows[:, 5].astype(jnp.int32)
+
+
+def default_instance_budget(n: int, factor: int = 6) -> int:
+    """Static instance-budget heuristic: trained pixel-aligned scenes need
+    ~1.5-3 instances/gaussian; 6x leaves headroom for big-splat tails."""
+    return max(factor * n, 4096)
 
 
 def tile_overflow_stats(proj: Projected, tile_size: int, grid_w: int,
                         grid_h: int, max_tiles: tuple[int, int],
-                        big_cap: int = 4096):
-    """Diagnostics for the hierarchical binning's static caps: how many
-    valid gaussians cover more tiles than the big-path ``max_tiles`` window
-    keeps (their far instances are dropped), how many big gaussians exceed
-    the ``big_cap`` budget (they fall back to a truncated 2x2 window), and
-    the max cover observed. Cheap; run it at production density when
-    choosing ``max_tiles``/``big_cap``/``tile_capacity``."""
+                        s_max: int | None = None):
+    """Diagnostics for the exact-expansion binning's static caps: how many
+    valid gaussians have their window clamped by ``max_tiles`` (their
+    outer tiles are dropped), the total instance count vs the ``s_max``
+    budget, and the max cover observed. Cheap; run it at production
+    density when choosing ``max_tiles``/``s_max``/``tile_capacity``."""
     x0, x1, y0, y1 = _tile_bbox(proj, tile_size, grid_w, grid_h)
     nx = (x1 - x0 + 1).astype(jnp.int32)
     ny = (y1 - y0 + 1).astype(jnp.int32)
     valid = proj.valid
-    over = valid & ((ny > max_tiles[0]) | (nx > max_tiles[1]))
-    n_big = jnp.sum((valid & ((ny > 2) | (nx > 2))).astype(jnp.int32))
+    clamped = valid & ((ny > max_tiles[0]) | (nx > max_tiles[1]))
+    cover = jnp.where(
+        valid,
+        jnp.minimum(ny, max_tiles[0]) * jnp.minimum(nx, max_tiles[1]), 0)
+    total = jnp.sum(cover.astype(jnp.int32))   # < 2^31 at any sane density
+    if s_max is None:
+        s_max = default_instance_budget(int(proj.mean2d.shape[0]))
     return {
         "n_valid": jnp.sum(valid.astype(jnp.int32)),
-        "n_truncated": jnp.sum(over.astype(jnp.int32)),
-        "n_big": n_big,
-        "n_big_over_budget": jnp.maximum(n_big - big_cap, 0),
+        "n_window_clamped": jnp.sum(clamped.astype(jnp.int32)),
+        "instances_needed": total,
+        "instance_budget": jnp.int32(s_max),
+        "instances_over_budget": jnp.maximum(total - s_max, 0),
         "max_cover_y": jnp.max(jnp.where(valid, ny, 0)),
         "max_cover_x": jnp.max(jnp.where(valid, nx, 0)),
     }
@@ -174,7 +198,8 @@ def sort_tile_instances(tile_id, depth, gauss_idx, n_tiles: int):
 
 
 @partial(jax.jit, static_argnames=("img_h", "img_w", "tile_size", "tile_capacity",
-                                   "max_tiles_y", "max_tiles_x", "chunk"))
+                                   "max_tiles_y", "max_tiles_x", "chunk",
+                                   "s_max"))
 def composite_tiled(
     proj: Projected,
     colors: jax.Array,      # (N, 3)
@@ -186,19 +211,25 @@ def composite_tiled(
     max_tiles_y: int = 4,
     max_tiles_x: int = 4,
     chunk: int = 128,
+    s_max: int | None = None,
 ):
     """Render one view. Returns ``(rgb (H,W,3), expected_depth (H,W), alpha (H,W))``.
 
     ``rgb`` is NOT background-blended (the renderer layer blends).
+    ``s_max`` is the static instance budget of the exact-expansion binning
+    (None -> ``default_instance_budget(N)``).
     """
     assert img_h % tile_size == 0 and img_w % tile_size == 0
     chunk = min(chunk, tile_capacity)
     assert tile_capacity % chunk == 0
     grid_h, grid_w = img_h // tile_size, img_w // tile_size
     n_tiles = grid_h * grid_w
+    if s_max is None:
+        s_max = default_instance_budget(proj.mean2d.shape[0])
 
     tile_id, depth_key, gauss_idx = _tile_instances(
-        proj, tile_size, grid_w, grid_h, (max_tiles_y, max_tiles_x)
+        proj, tile_size, grid_w, grid_h, (max_tiles_y, max_tiles_x),
+        s_max, opacities=opacities,
     )
     # (tile, depth) order via one fused-key sort; invalid instances sink to
     # the end (sentinel tile id is the largest).

@@ -44,11 +44,15 @@ def test_overflow_counter(key):
     stats = tile_overflow_stats(proj, 16, grid, grid, (4, 4))
     assert int(stats["n_valid"]) > 15000
     # small pixel-aligned splats fit the 4x4 window
-    assert int(stats["n_truncated"]) == 0
-    # a 1x1 window truncates every splat that spans a tile boundary
+    assert int(stats["n_window_clamped"]) == 0
+    assert int(stats["instances_needed"]) >= int(stats["n_valid"])
+    # a 1x1 window clamps every splat that spans a tile boundary
     stats1 = tile_overflow_stats(proj, 16, grid, grid, (1, 1))
-    assert int(stats1["n_truncated"]) > 0
+    assert int(stats1["n_window_clamped"]) > 0
     assert int(stats1["max_cover_x"]) >= 2
+    # budget accounting: a tiny s_max reports overflow
+    stats2 = tile_overflow_stats(proj, 16, grid, grid, (4, 4), s_max=4096)
+    assert int(stats2["instances_over_budget"]) > 0
 
 
 @pytest.mark.slow
