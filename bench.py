@@ -153,24 +153,23 @@ def bench_train_step(pipe, *, batch_size=1, num_views=8):
     params = pipe.mvldm_params
     img = mv_model.image_size
 
-    def _label(path, _):
+    def _frozen(path, _):
         names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
-        return "frozen" if any(n in ("vae", "text_encoder") for n in names) \
-            else "train"
+        return any(n in ("vae", "text_encoder") for n in names)
 
-    labels = jax.tree_util.tree_map_with_path(_label, params)
+    frozen_mask = jax.tree_util.tree_map_with_path(_frozen, params)
     # bf16 first moment + donated state buffers: the flagship step fits the
-    # 16 GB v5e (fp32 moments + undonated state RESOURCE_EXHAUSTED it)
-    tx = optax.multi_transform(
-        {"train": make_optimizer(learning_rate=1e-5, mu_dtype=jnp.bfloat16),
-         "frozen": optax.set_to_zero()}, labels)
-    state = init_train_state(params, {}, tx)
+    # 16 GB v5e (fp32 moments + undonated state RESOURCE_EXHAUSTED it).
+    # frozen_mask keeps grads/opt/EMA to the trainable U-Net subtree.
+    tx = make_optimizer(learning_rate=1e-5, mu_dtype=jnp.bfloat16)
+    state = init_train_state(params, {}, tx, frozen_mask=frozen_mask)
 
     def loss_fn(p, ms, batch, k):
         loss, metrics = system.multi_view_loss(p, k, batch)
         return loss, (metrics, ms)
 
-    step_fn = make_train_step(loss_fn, tx, donate=True)
+    step_fn = make_train_step(loss_fn, tx, donate=True,
+                              frozen_mask=frozen_mask)
 
     key = jax.random.PRNGKey(3)
     cams = jnp.tile(get_random_cameras(key, num_views, size=img)[None],
@@ -367,9 +366,9 @@ def main():
         proj = jax.jit(partial(project_gaussians, img_h=render_size,
                                img_w=render_size))(
             gaussians[0][0], gaussians[3][0], gaussians[4][0], w2c,
-            fx, fy, cx, cy)
+            fx, fy, cx, cy, opacities=gaussians[2][0][..., 0])
         stats = tile_overflow_stats(proj, 16, render_size // 16,
-                                    render_size // 16, (8, 8))
+                                    render_size // 16, (32, 32))
         overflow = {k: int(v) for k, v in stats.items()}
     except Exception as e:
         _log(f"bench: overflow stats failed ({e})")

@@ -11,4 +11,12 @@ from .mesh import (
     shard_batch_per_host,
     shard_params,
 )
-from .train_step import TrainState, init_train_state, make_optimizer, make_train_step
+from .train_step import (
+    TrainState,
+    full_ema_params,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    merge_partitions,
+    partition_frozen,
+)

@@ -160,3 +160,101 @@ def test_shard_batch_per_host_single_process(rng):
     assert global_arr.shape == (16, 4)
     assert len(global_arr.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(global_arr), batch["x"])
+
+
+def test_frozen_mask_partitioned_step(rng):
+    """frozen_mask: frozen leaves untouched, EMA/opt cover trainable only,
+    and the update matches the multi_transform(set_to_zero) formulation."""
+    from prometheus_tpu.parallel import full_ema_params, partition_frozen
+
+    batch, _ = make_problem(rng)
+
+    def loss_fn(params, model_state, b, key):
+        pred = (b["x"] @ params["enc"]["w"]) @ params["head"]["w"]
+        loss = jnp.mean((pred - b["y"]) ** 2)
+        return loss, ({"mse": loss}, model_state)
+
+    params = {
+        "enc": {"w": jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)},
+        "head": {"w": jnp.asarray(rng.normal(size=(8, 1)), jnp.float32)},
+    }
+    mask = {"enc": {"w": True}, "head": {"w": False}}  # enc frozen
+
+    tx = make_optimizer(learning_rate=0.05, weight_decay=0.01)
+    s = init_train_state(params, {}, tx, frozen_mask=mask)
+    assert "enc" not in s.ema_params and "head" in s.ema_params
+    step = make_train_step(loss_fn, tx, ema_decay=0.9, donate=False,
+                           frozen_mask=mask)
+    key = jax.random.PRNGKey(0)
+    s1, m1 = step(s, batch, key)
+    # frozen leaf bit-identical, trainable moved
+    np.testing.assert_array_equal(np.asarray(s1.params["enc"]["w"]),
+                                  np.asarray(params["enc"]["w"]))
+    assert float(jnp.abs(s1.params["head"]["w"]
+                         - params["head"]["w"]).max()) > 0
+
+    # reference formulation: multi_transform with set_to_zero on frozen
+    labels = {"enc": {"w": "frozen"}, "head": {"w": "train"}}
+    tx_mt = optax.multi_transform(
+        {"train": make_optimizer(learning_rate=0.05, weight_decay=0.01),
+         "frozen": optax.set_to_zero()}, labels)
+    s_mt = init_train_state(params, {}, tx_mt)
+    step_mt = make_train_step(loss_fn, tx_mt, ema_decay=0.9, donate=False)
+    s1_mt, m1_mt = step_mt(s_mt, batch, key)
+    np.testing.assert_allclose(np.asarray(s1.params["head"]["w"]),
+                               np.asarray(s1_mt.params["head"]["w"]),
+                               atol=1e-6)
+    # masked grad_norm covers TRAINABLE grads only (torch clip semantics:
+    # only requires_grad params); multi_transform's includes frozen grads
+    g_head = jax.grad(lambda p: loss_fn({"enc": params["enc"], "head": p},
+                                        {}, batch, key)[0])(params["head"])
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(optax.global_norm(g_head)), rtol=1e-5)
+
+    # EMA overlay reconstructs the full tree
+    full = full_ema_params(s1.params, s1.ema_params)
+    np.testing.assert_array_equal(np.asarray(full["enc"]["w"]),
+                                  np.asarray(s1.params["enc"]["w"]))
+    np.testing.assert_allclose(
+        np.asarray(full["head"]["w"]),
+        np.asarray(0.9 * params["head"]["w"] + 0.1 * s1.params["head"]["w"]),
+        atol=1e-6)
+
+    # partition/merge round trip
+    t, f = partition_frozen(params, mask)
+    from prometheus_tpu.parallel import merge_partitions
+    back = merge_partitions(t, f)
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(params)
+
+
+def test_frozen_mask_with_grad_accum(rng):
+    from prometheus_tpu.parallel import partition_frozen  # noqa: F401
+
+    batch, _ = make_problem(rng, n=32)
+
+    def loss_fn(params, model_state, b, key):
+        pred = (b["x"] @ params["enc"]["w"]) @ params["head"]["w"]
+        loss = jnp.mean((pred - b["y"]) ** 2)
+        return loss, ({"mse": loss}, model_state)
+
+    params = {
+        "enc": {"w": jnp.asarray(rng.normal(size=(8, 8)), jnp.float32)},
+        "head": {"w": jnp.asarray(rng.normal(size=(8, 1)), jnp.float32)},
+    }
+    mask = {"enc": {"w": True}, "head": {"w": False}}
+    tx = make_optimizer(learning_rate=0.05, weight_decay=0.0)
+
+    s1 = init_train_state(params, {}, tx, frozen_mask=mask)
+    step1 = make_train_step(loss_fn, tx, grad_accum=1, donate=False,
+                            frozen_mask=mask)
+    s1, _ = step1(s1, batch, jax.random.PRNGKey(0))
+
+    s4 = init_train_state(params, {}, tx, frozen_mask=mask)
+    step4 = make_train_step(loss_fn, tx, grad_accum=4, donate=False,
+                            frozen_mask=mask)
+    s4, _ = step4(s4, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s4.params["head"]["w"]),
+                               np.asarray(s1.params["head"]["w"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s4.params["enc"]["w"]),
+                                  np.asarray(params["enc"]["w"]))

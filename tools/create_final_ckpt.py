@@ -27,9 +27,12 @@ def load_stage(ckpt_dir: str, use_ema: bool = True):
     if path is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     state = restore_checkpoint(path)
-    params = state.get("ema_params") if use_ema else None
-    if params is None:
-        params = state["params"]
+    params = state["params"]
+    if use_ema and state.get("ema_params") is not None:
+        # EMA may cover only the trainable subtree (frozen towers carry no
+        # EMA copy); overlay it onto the live params
+        from prometheus_tpu.parallel import full_ema_params
+        params = full_ema_params(params, state["ema_params"])
     out = {"params": params}
     model_state = state.get("model_state") or {}
     out.update(model_state)  # e.g. batch_stats (EMANorm magnitudes)

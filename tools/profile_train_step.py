@@ -38,11 +38,20 @@ def timeit(fn, *args, iters=4):
     return (time.time() - t0) / iters
 
 
+def record(out, key, val):
+    """Record incrementally so a late OOM doesn't lose earlier numbers."""
+    out[key] = val
+    print(f"[profile] {key} = {val}", file=sys.stderr, flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--sections", default="unet,vae,loss,step",
+                    help="comma list of unet,vae,loss,step")
     args = ap.parse_args()
+    sections = set(args.sections.split(","))
 
     import optax
 
@@ -76,7 +85,7 @@ def main():
     lat = jax.random.normal(key, (B, N, 9, hw, hw), jnp.bfloat16)
     txt = batch["text_emb"]
     t = jnp.zeros((B, N))
-    for policy in ("full", "dots"):
+    for policy in ("full", "dots") if "unet" in sections else ():
         model = pipe.mvldm.model.clone(use_checkpoint=True,
                                        remat_policy=policy)
 
@@ -94,14 +103,15 @@ def main():
 
         try:
             if policy == "full":
-                out["unet_fwd_ms"] = round(1e3 * timeit(
+                record(out, "unet_fwd_ms", round(1e3 * timeit(
                     unet_fwd, pipe.mvldm_params, lat, txt, t, cams,
-                    iters=args.iters), 2)
-            out[f"unet_fwd_bwd_{policy}_ms"] = round(1e3 * timeit(
+                    iters=args.iters), 2))
+            record(out, f"unet_fwd_bwd_{policy}_ms", round(1e3 * timeit(
                 unet_fwd_bwd, pipe.mvldm_params, lat, txt, t, cams,
-                iters=args.iters), 2)
+                iters=args.iters), 2))
         except Exception as e:  # OOM for dots at flagship is information too
-            out[f"unet_fwd_bwd_{policy}_ms"] = f"failed: {type(e).__name__}"
+            record(out, f"unet_fwd_bwd_{policy}_ms",
+                   f"failed: {type(e).__name__}")
 
     # --- VAE encode of the step's 2x8 images -----------------------------
     @jax.jit
@@ -109,9 +119,10 @@ def main():
         return pipe.mvldm.model.apply(p, images,
                                       method=MVLDMModel.encode_image)
 
-    imgs2 = jnp.concatenate([batch["images_mv"], batch["images_mv"]], 1)
-    out["vae_encode_16imgs_ms"] = round(1e3 * timeit(
-        vae_enc, pipe.mvldm_params, imgs2, iters=args.iters), 2)
+    if "vae" in sections:
+        imgs2 = jnp.concatenate([batch["images_mv"], batch["images_mv"]], 1)
+        record(out, "vae_encode_16imgs_ms", round(1e3 * timeit(
+            vae_enc, pipe.mvldm_params, imgs2, iters=args.iters), 2))
 
     # --- loss fwd / fwd+bwd / full step ----------------------------------
     model = pipe.mvldm.model.clone(
@@ -130,32 +141,40 @@ def main():
         return jax.value_and_grad(
             lambda pp: system.multi_view_loss(pp, k, b)[0])(p)
 
-    out["loss_fwd_ms"] = round(1e3 * timeit(
-        loss_fwd, pipe.mvldm_params, batch, key, iters=args.iters), 2)
-    out["loss_fwd_bwd_ms"] = round(1e3 * timeit(
-        loss_fwd_bwd, pipe.mvldm_params, batch, key, iters=args.iters), 2)
+    if "loss" in sections:
+        record(out, "loss_fwd_ms", round(1e3 * timeit(
+            loss_fwd, pipe.mvldm_params, batch, key, iters=args.iters), 2))
+        record(out, "loss_fwd_bwd_ms", round(1e3 * timeit(
+            loss_fwd_bwd, pipe.mvldm_params, batch, key, iters=args.iters), 2))
 
-    def _label(path, _):
+    def _frozen(path, _):
         names = [str(getattr(k, "key", getattr(k, "name", "")))
                  for k in path]
-        return "frozen" if any(n in ("vae", "text_encoder") for n in names) \
-            else "train"
+        return any(n in ("vae", "text_encoder") for n in names)
 
-    labels = jax.tree_util.tree_map_with_path(_label, pipe.mvldm_params)
-    tx = optax.multi_transform(
-        {"train": make_optimizer(learning_rate=1e-5,
-                                 mu_dtype=jnp.bfloat16),
-         "frozen": optax.set_to_zero()}, labels)
-    state = init_train_state(pipe.mvldm_params, {}, tx)
+    frozen_mask = jax.tree_util.tree_map_with_path(_frozen,
+                                                   pipe.mvldm_params)
+    tx = make_optimizer(learning_rate=1e-5, mu_dtype=jnp.bfloat16)
+    state = init_train_state(pipe.mvldm_params, {}, tx,
+                             frozen_mask=frozen_mask)
 
     def loss_fn(p, ms, b, k):
         loss, metrics = system.multi_view_loss(p, k, b)
         return loss, (metrics, ms)
 
-    step_fn = make_train_step(loss_fn, tx, donate=False)
-    out["full_step_ms"] = round(1e3 * timeit(
-        lambda s, b, k: step_fn(s, b, k)[1]["loss"], state, batch, key,
-        iters=args.iters), 2)
+    # donate=True is the production config (undonated fp32-state steps
+    # OOM the 16 GB chip); thread the returned state back through.
+    if "step" in sections:
+        step_fn = make_train_step(loss_fn, tx, donate=True,
+                                  frozen_mask=frozen_mask)
+        state, metrics = step_fn(state, batch, key)      # compile
+        sync(metrics["loss"])
+        t0 = time.time()
+        for _ in range(args.iters):
+            state, metrics = step_fn(state, batch, key)
+        sync(metrics["loss"])
+        record(out, "full_step_ms",
+               round(1e3 * (time.time() - t0) / args.iters, 2))
 
     print(json.dumps(out))
 

@@ -308,21 +308,19 @@ def main():
         weight_decay=float(tr.get("weight_decay", 1e-4)),
         betas=tuple(tr.get("betas", (0.9, 0.95))),
     )
+    frozen_mask = None
     if args.stage == "mvldm":
         # reference trains the U-Net only; VAE + CLIP text are frozen
-        # (mv_ldm.py:52-64 requires_grad_(False)) — mask them out so AdamW
-        # weight decay cannot drift the frozen towers
-        import optax
-
-        def _label(path, _):
+        # (mv_ldm.py:52-64 requires_grad_(False)). The mask partitions them
+        # out of the grad/optimizer/EMA path entirely: no weight-decay
+        # drift, no zero-grad materialisation, no per-step update traffic.
+        def _frozen(path, _):
             names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
-            frozen = any(n in ("vae", "text_encoder") for n in names)
-            return "frozen" if frozen else "train"
+            return any(n in ("vae", "text_encoder") for n in names)
 
-        labels = jax.tree_util.tree_map_with_path(_label, params)
-        tx = optax.multi_transform(
-            {"train": tx, "frozen": optax.set_to_zero()}, labels)
-    state = init_train_state(params, model_state, tx)
+        frozen_mask = jax.tree_util.tree_map_with_path(_frozen, params)
+    state = init_train_state(params, model_state, tx,
+                             frozen_mask=frozen_mask)
     state = TrainState(state.step,
                        shard_params(state.params, mesh, args.param_sharding),
                        state.opt_state, state.ema_params, state.model_state)
@@ -335,7 +333,8 @@ def main():
         print(f"[train] resumed from {latest}")
 
     step_fn = make_train_step(loss_fn, tx, grad_accum=accum,
-                              ema_decay=float(tr.get("ema_decay", 0.9999)))
+                              ema_decay=float(tr.get("ema_decay", 0.9999)),
+                              frozen_mask=frozen_mask)
 
     max_steps = args.max_steps if args.max_steps > 0 else \
         int(tr.get("steps_per_epoch", 1000))
@@ -449,7 +448,8 @@ def main():
         if logger is None:
             logger = MetricLogger(ckpt_dir, rank_zero=is_main_process())
             validation_snapshot.logger = logger
-        p = state.ema_params if state.ema_params is not None else state.params
+        from prometheus_tpu.parallel import full_ema_params
+        p = full_ema_params(state.params, state.ema_params)
         if args.stage == "mvldm":
             lat = system.sample(
                 p, jax.random.PRNGKey(step), batch["cameras_mv"][:1],
