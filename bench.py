@@ -393,6 +393,15 @@ def main():
             extra.update(bench_train_step(pipe))
         except Exception as e:
             _log(f"bench: train-step bench failed ({e})")
+        # batch-2 datapoint: amortizes the fixed optimizer/EMA update phase
+        # (~16 ms/step); reported alongside the reference-matched batch-1
+        try:
+            bs2 = bench_train_step(pipe, batch_size=2)
+            extra.update({f"{k}_bs2": v for k, v in bs2.items()
+                          if k in ("train_step_s", "train_mfu",
+                                   "train_examples_per_s")})
+        except Exception as e:
+            _log(f"bench: bs2 train-step bench failed ({e})")
 
     metric = "text_to_3dgs_seconds_e2e" + ("_small" if small else "")
     print(json.dumps({

@@ -218,11 +218,11 @@ class MVLDMSystem:
         hi = disp.max(axis=(2, 3, 4), keepdims=True)
         disp = (disp - lo) / jnp.maximum(hi - lo, 1e-6)
         depth3 = jnp.repeat(disp * 2.0 - 1.0, 3, axis=2)
-        lat_rgb = self.model.apply(params, images,
-                                   method=MVLDMModel.encode_image)
-        lat_d = self.model.apply(params, depth3,
-                                 method=MVLDMModel.encode_image)
-        return jnp.concatenate([lat_rgb, lat_d], axis=2)
+        N = images.shape[1]
+        lat = self.model.apply(params,
+                               jnp.concatenate([images, depth3], axis=1),
+                               method=MVLDMModel.encode_image)
+        return jnp.concatenate([lat[:, :N], lat[:, N:]], axis=2)
 
     def sample_with_3d_mode(
         self,
@@ -357,12 +357,15 @@ class MVLDMSystem:
         k_enc, k_sig, k_noise, k_perm, k_pose, k_text = jax.random.split(key, 6)
 
         depths_in = jnp.repeat(depths * 2.0 - 1.0, 3, axis=2)
-        lat_rgb = self.model.apply(params, images, k_enc,
-                                   method=MVLDMModel.encode_image)
-        lat_depth = self.model.apply(params, depths_in, k_enc,
-                                     method=MVLDMModel.encode_image)
+        # ONE batched 2N-image encode (vs two N-image calls): better MXU
+        # occupancy, and RGB/depth posterior noise draws are independent
+        # (two calls shared k_enc -> correlated samples)
+        lat_both = self.model.apply(
+            params, jnp.concatenate([images, depths_in], axis=1), k_enc,
+            method=MVLDMModel.encode_image)
         x0 = jax.lax.stop_gradient(
-            jnp.concatenate([lat_rgb, lat_depth], axis=2))  # (B,N,8,h,w)
+            jnp.concatenate([lat_both[:, :N], lat_both[:, N:]],
+                            axis=2))  # (B,N,8,h,w)
         h, w = x0.shape[-2:]
 
         # view-cond reference mask (same ref set for the whole batch, as in
