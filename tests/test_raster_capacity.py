@@ -76,3 +76,36 @@ def test_capacity_sweep_psnr(key):
     rgb64, _, _ = composite_tiled(proj, colors, opac, 128, 128,
                                   tile_capacity=128)
     assert psnr(rgb64, ref_rgb) < 60.0
+
+
+@pytest.mark.slow
+def test_production_psnr_vs_exact_trained_stats(key):
+    """The production path must track the EXACT compositor on a
+    trained-statistics scene including the big-splat tail (the round-2
+    binning lost ~40 dB here: budget-overflow big splats rendered at their
+    bbox's top-left corner only)."""
+    from prometheus_tpu.ops.gaussian.quality import (
+        make_trained_stats_scene, psnr_vs_exact)
+    from prometheus_tpu.utils import get_random_cameras
+
+    size = 128
+    cams = get_random_cameras(key, 2, size=size)[None]
+    gs = make_trained_stats_scene(jax.random.PRNGKey(5), cams,
+                                  n_gaussians=32768)
+    one = tuple(g[0] for g in gs)
+    db = psnr_vs_exact(cams[0, 0], one, jax.random.PRNGKey(42), h=size,
+                       w=size, tile_capacity=1024, n_sample_tiles=16,
+                       backend="xla")
+    assert float(db) > 40.0, f"production render {float(db):.1f} dB vs exact"
+
+    # default budget must cover this scene (no principled-drop engaged)
+    from prometheus_tpu.utils.cameras import (camera_c2w, camera_intrinsics,
+                                              opengl_to_opencv)
+    c2w34 = opengl_to_opencv(camera_c2w(cams[0, 0])[:3, :4])
+    w2c = jnp.linalg.inv(jnp.concatenate(
+        [c2w34, jnp.asarray([[0.0, 0.0, 0.0, 1.0]])], 0))
+    fx, fy, cx, cy, _, _ = camera_intrinsics(cams[0, 0], h=size, w=size)
+    proj = project_gaussians(gs[0][0], gs[3][0], gs[4][0], w2c, fx, fy,
+                             cx, cy, size, size, opacities=gs[2][0][..., 0])
+    stats = tile_overflow_stats(proj, 16, size // 16, size // 16, (8, 8))
+    assert int(stats["instances_over_budget"]) == 0
