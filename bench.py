@@ -116,13 +116,14 @@ def build_flagship(small: bool = False):
     return pipe, init_s
 
 
-def run_once(pipe, key, *, steps, render_size, image_size, render_cap=1024):
+def run_once(pipe, key, *, steps, render_size, image_size, render_cap=1024,
+             cfg_frac=None):
     result = pipe.generate(
         "a cozy wooden cabin in a snowy forest", key,
         num_views=8, num_inference_steps=steps, num_traj_steps=100,
         guidance_scale=7.5, guidance_type="joint", cfg_rescale=0.7,
         render_size=render_size, image_size=image_size,
-        render_tile_capacity=render_cap,
+        render_tile_capacity=render_cap, cfg_interval_frac=cfg_frac,
     )
     sync(result["images_gs_render"])
     sync(result["images_pred"])
@@ -286,6 +287,24 @@ def main():
     mse = float(np.mean((a - b) ** 2))
     fast_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
 
+    # optional CFG-interval fast mode datapoint (guidance on the first
+    # BENCH_CFG_FRAC of steps only; NOT the primary metric — the primary
+    # e2e stays reference-exact full-interval CFG)
+    cfg_frac = os.environ.get("BENCH_CFG_FRAC", "")
+    if cfg_frac:
+        frac = float(cfg_frac)
+        run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
+                 render_size=render_size, image_size=image_size,
+                 cfg_frac=frac)                 # warm-up compile
+        t0 = time.time()
+        run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
+                 render_size=render_size, image_size=image_size,
+                 cfg_frac=frac)
+        extra_cfg = {"e2e_cfg_interval_s": round(time.time() - t0, 3),
+                     "cfg_interval_frac": frac}
+    else:
+        extra_cfg = {}
+
     # quality vs the EXACT compositor at production density (VERDICT r2
     # weak #1): random-tile-subset PSNR for the quality-default and fast
     # capacities, on this scene AND a trained-statistics synthetic scene
@@ -384,6 +403,7 @@ def main():
         "num_gaussians": int(result["gaussians"][0].shape[1]),
         "scenes_per_min_per_chip": round(60.0 / best, 2),
         "tile_overflow": overflow,
+        **extra_cfg,
         **quality,
     }
 

@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--guidance_type", type=str, default="joint",
                    choices=["none", "text", "pose", "joint", "hybrid"])
     p.add_argument("--cfg_rescale", type=float, default=0.7)
+    p.add_argument("--cfg_interval_frac", type=float, default=None,
+                   help="fast mode: apply CFG only on this high-noise "
+                        "fraction of steps (Kynkaanniemi et al. 2024); "
+                        "default None = reference-exact full-interval CFG")
     p.add_argument("--render_size", type=int, default=512)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--num_video_frames", type=int, default=120)
@@ -226,6 +230,7 @@ def main():
             image_size=args.image_size,
             use_3d_mode_every_m_steps=args.use_3d_mode_every_m_steps,
             refiner=refiner,
+            cfg_interval_frac=args.cfg_interval_frac,
         )
         jax.block_until_ready(result["images_gs_render"])
         dt = time.time() - t0

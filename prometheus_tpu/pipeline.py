@@ -108,6 +108,7 @@ class PrometheusPipeline:
         refiner=None,
         use_3d_mode_every_m_steps: int = -1,
         render_tile_capacity: int = 1024,
+        cfg_interval_frac: float | None = None,
     ) -> dict:
         """Full text -> 3DGS scene generation. Returns a result dict with
         images/depths (2D decode), gaussians, and GS renders."""
@@ -154,6 +155,7 @@ class PrometheusPipeline:
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, guidance_type=guidance_type,
                 cfg_rescale=cfg_rescale, latent_hw=hw,
+                cfg_interval_frac=cfg_interval_frac,
             )
         images_pred, depths_pred = self.mvldm.decode_images_and_depths(
             self.mvldm_params, latents)

@@ -158,7 +158,8 @@ class MVLDMSystem:
     # -- full sampling loop ----------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "num_inference_steps",
                                        "guidance_type", "latent_hw",
-                                       "guidance_scale", "cfg_rescale"))
+                                       "guidance_scale", "cfg_rescale",
+                                       "cfg_interval_frac"))
     def sample(
         self,
         params,
@@ -173,8 +174,18 @@ class MVLDMSystem:
         latent_hw: int = 32,
         view_mask: jax.Array | None = None,
         ref_latents: jax.Array | None = None,
+        cfg_interval_frac: float | None = None,
     ):
-        """Full denoising loop. Returns x0 latents (B, N, 8, h, w)."""
+        """Full denoising loop. Returns x0 latents (B, N, 2*latent_ch, h, w).
+
+        ``cfg_interval_frac``: optional FAST MODE — apply classifier-free
+        guidance only on the first (high-noise) fraction of the ladder and
+        run the conditional row alone afterwards ("Applying Guidance in a
+        Limited Interval", Kynkaanniemi et al. 2024). The guided prefix and
+        plain suffix compile as two scans; at frac f the sampler costs
+        ~(1+f)/2 of full CFG. ``None`` (default) = guidance at every step,
+        matching the reference exactly (``mv_ldm_system.py:920-1000``).
+        """
         B, N = cameras.shape[:2]
         h = w = latent_hw
         pose_emb, uncond_pose_emb = self._pose_embeddings(cameras, h, w, view_mask)
@@ -189,20 +200,34 @@ class MVLDMSystem:
             params, text_embeddings, uncond_text_embeddings,
             guidance_type, N)
 
-        def body(x, i):
-            sigma, sigma_next = sigmas[i], sigmas[i + 1]
-            out = self._guided_output(
-                params, x, sigma, text_embeddings, uncond_text_embeddings,
-                pose_emb, uncond_pose_emb, guidance_type, guidance_scale,
-                cfg_rescale, text_kv=text_kv)
-            x0 = self.schedule.denoise_output_to_x0(x, out, sigma)
-            if ref_latents is not None and view_mask is not None:
-                m = view_mask[:, :, :1]
-                x0 = jnp.where(m > 0.5, ref_latents, x0)
-            x = self.schedule.euler_step(x, x0, sigma, sigma_next)
-            return x, x0
+        def make_body(gtype, kv):
+            def body(x, i):
+                sigma, sigma_next = sigmas[i], sigmas[i + 1]
+                out = self._guided_output(
+                    params, x, sigma, text_embeddings, uncond_text_embeddings,
+                    pose_emb, uncond_pose_emb, gtype, guidance_scale,
+                    cfg_rescale, text_kv=kv)
+                x0 = self.schedule.denoise_output_to_x0(x, out, sigma)
+                if ref_latents is not None and view_mask is not None:
+                    m = view_mask[:, :, :1]
+                    x0 = jnp.where(m > 0.5, ref_latents, x0)
+                x = self.schedule.euler_step(x, x0, sigma, sigma_next)
+                return x, x0
+            return body
 
-        x, x0s = jax.lax.scan(body, x, jnp.arange(num_inference_steps))
+        body = make_body(guidance_type, text_kv)
+        n_cfg = num_inference_steps
+        if cfg_interval_frac is not None and guidance_type != "none":
+            n_cfg = min(num_inference_steps,
+                        max(1, round(cfg_interval_frac * num_inference_steps)))
+        if n_cfg == num_inference_steps:
+            x, x0s = jax.lax.scan(body, x, jnp.arange(num_inference_steps))
+            return x0s[-1]
+        kv_none = self._text_kv_for_guidance(
+            params, text_embeddings, uncond_text_embeddings, "none", N)
+        x, _ = jax.lax.scan(body, x, jnp.arange(n_cfg))
+        x, x0s = jax.lax.scan(make_body("none", kv_none), x,
+                              jnp.arange(n_cfg, num_inference_steps))
         return x0s[-1]
 
     # -- 3D-mode sampling ------------------------------------------------------

@@ -118,3 +118,37 @@ def test_orbit_video(tiny_pipeline):
                                   num_frames=6, size=32, chunk=3)
     assert frames.shape == (6, 3, 32, 32)
     assert np.isfinite(frames).all()
+
+
+def test_cfg_interval_fast_mode(tiny_pipeline):
+    """cfg_interval_frac: the guided prefix matches full-CFG exactly (same
+    keys, same steps), the unguided suffix equals running guidance 'none'
+    from the prefix state; frac=1.0 reproduces the default path."""
+    p = tiny_pipeline
+    key = jax.random.PRNGKey(3)
+    from prometheus_tpu.utils import get_random_cameras
+
+    cams = get_random_cameras(key, 2, size=32)[None]
+    text_emb = p.encode_text(["a chair"])
+    uncond = p.encode_text([""])
+    kw = dict(num_inference_steps=4, guidance_scale=7.5,
+              guidance_type="joint", cfg_rescale=0.7, latent_hw=16)
+    # the tiny model's zero-init conv_out makes cond == uncond == 0 and CFG
+    # vacuous; give the output head real weights so guidance has an effect
+    params = jax.tree.map(lambda x: x, p.mvldm_params)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.random.normal(jax.random.PRNGKey(7), x.shape,
+                                          x.dtype) * 0.05
+        if any(getattr(k, "key", "") == "conv_out" for k in path) else x,
+        params)
+    full = p.mvldm.sample(params, key, cams, text_emb, uncond, **kw)
+    frac1 = p.mvldm.sample(params, key, cams, text_emb, uncond,
+                           cfg_interval_frac=1.0, **kw)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(frac1),
+                               atol=1e-6)
+    fast = p.mvldm.sample(params, key, cams, text_emb, uncond,
+                          cfg_interval_frac=0.5, **kw)
+    assert fast.shape == full.shape
+    assert bool(jnp.isfinite(fast).all())
+    # the fast path genuinely deviates after the switch (it ran unguided)
+    assert float(jnp.abs(fast - full).max()) > 0
