@@ -36,6 +36,41 @@ def _log(msg: str):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Progressive results for the deadline watchdog: the tunneled axon backend
+# has hours-long DEGRADED phases (round 3: a toy 1024^2 matmul took 346 s to
+# compile+run; a flagship warm-up hung > 1 h). If the driver launches this
+# bench inside such a phase, hanging forever loses the round artifact —
+# instead a watchdog emits whatever stages completed as ONE valid JSON line
+# (flagged "deadline_hit") and exits. BENCH_DEADLINE=0 disables.
+_PARTIAL: dict = {"stage": "init"}
+
+
+def _start_deadline_watchdog():
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE", "7200"))
+    if deadline <= 0:
+        return
+
+    def fire():
+        _log(f"bench: DEADLINE {deadline:.0f}s hit at stage "
+             f"'{_PARTIAL.get('stage')}' (degraded tunnel?) — emitting "
+             "partial result")
+        best = _PARTIAL.get("best_e2e_s")
+        print(json.dumps({
+            "metric": "text_to_3dgs_seconds_e2e",
+            "value": round(best, 3) if best else -1.0,
+            "unit": "s",
+            "vs_baseline": round(5.0 / best, 3) if best else 0.0,
+            "extra": {"deadline_hit": True, **_PARTIAL},
+        }), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+
+
 def sync(tree):
     """Force completion by fetching one element to the host.
 
@@ -220,6 +255,10 @@ def bench_train_step(pipe, *, batch_size=1, num_views=8):
 
 
 def main():
+    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    _start_deadline_watchdog()
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     # 100 denoise steps = the reference inference config
     # (/root/reference/inference.py:44-59); override with BENCH_STEPS
@@ -232,6 +271,7 @@ def main():
     pipe, init_s = build_flagship(small)
     image_size = pipe.mvldm.model.image_size
     _log(f"bench: init done in {init_s:.1f}s; warm-up (compiles)...")
+    _PARTIAL.update(stage="warmup", init_s=round(init_s, 1))
 
     if os.environ.get("BENCH_E2E", "1") == "0":
         # train-step-only mode (debug/iteration): skip the e2e pipeline
@@ -248,6 +288,7 @@ def main():
              image_size=image_size)  # warm-up: includes all compiles
     compile_s = time.time() - t0
     _log(f"bench: warm-up done in {compile_s:.1f}s; measuring...")
+    _PARTIAL.update(stage="measuring", compile_s=round(compile_s, 1))
 
     times = []
     result = None
@@ -266,7 +307,9 @@ def main():
         result = run_once(pipe, jax.random.PRNGKey(100 + i), steps=steps,
                           render_size=render_size, image_size=image_size)
         times.append(time.time() - t0)
+        _PARTIAL["best_e2e_s"] = min(times)
     best = min(times)
+    _PARTIAL["stage"] = "fast_render"
 
     # fast-render mode: capacity-512 worklists (depth-ordered truncation
     # behind near-saturated alpha; 45.6 dB vs exact at worst-case density).
@@ -308,6 +351,9 @@ def main():
     # quality vs the EXACT compositor at production density (VERDICT r2
     # weak #1): random-tile-subset PSNR for the quality-default and fast
     # capacities, on this scene AND a trained-statistics synthetic scene
+    _PARTIAL.update(stage="quality",
+                    e2e_fast_render_s=round(fast_s, 3),
+                    fast_render_psnr_db=round(fast_psnr, 1), **extra_cfg)
     quality = {}
     try:
         from prometheus_tpu.ops.gaussian.quality import (
@@ -407,6 +453,8 @@ def main():
         **quality,
     }
 
+    _PARTIAL.update(stage="train_step", render_fps=round(render_fps, 1),
+                    **quality)
     if bench_train:
         _log("bench: training-step benchmark (compile)...")
         try:

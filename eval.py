@@ -42,6 +42,10 @@ def parse_args():
                         "inference.py:52)")
     p.add_argument("--refine_iters", type=int, default=300)
     p.add_argument("--use_3d_mode_every_m_steps", type=int, default=-1)
+    p.add_argument("--no_skip_existing", action="store_true",
+                   help="re-generate prompts whose export dir is already "
+                        "complete (default: skip them, making interrupted "
+                        "sweeps resumable)")
     return p.parse_args()
 
 
@@ -106,29 +110,44 @@ def main():
 
     all_metrics = []
     for i, (prompt, cams) in enumerate(entries):
-        key = jax.random.PRNGKey(args.seed + i)
-        kwargs = dict(
-            num_views=args.num_views, num_inference_steps=args.num_steps,
-            guidance_scale=args.guidance_scale,
-            guidance_type=args.guidance_type, cfg_rescale=args.cfg_rescale,
-            render_size=args.render_size, image_size=args.image_size,
-            refiner=refiner,
-            use_3d_mode_every_m_steps=args.use_3d_mode_every_m_steps,
-        )
-        if cams is not None:
-            import jax.numpy as jnp
-
-            dense = jnp.asarray(cams)
-            kwargs["cameras"] = pipe.sparse_views(dense, args.num_views)
-        result = pipe.generate(prompt, key, **kwargs)
-        jax.block_until_ready(result["images_gs_render"])
-
         out_dir = os.path.join(args.export_dir, f"{i:04d}")
-        os.makedirs(out_dir, exist_ok=True)
-        frames = postprocess_image(np.asarray(result["images_gs_render"][0]))
-        for v, frame in enumerate(frames):
-            save_image(frame, os.path.join(out_dir, f"view_{v:02d}.png"))
-        save_image(make_grid(frames), os.path.join(out_dir, "grid.png"))
+        view_paths = [os.path.join(out_dir, f"view_{v:02d}.png")
+                      for v in range(args.num_views)]
+        if (not args.no_skip_existing
+                and all(os.path.exists(p) for p in view_paths)):
+            # resume an interrupted sweep: reload the exported frames so the
+            # metrics summary still covers every prompt
+            from prometheus_tpu.utils.image import load_image
+
+            frames = np.stack([load_image(p) for p in view_paths])
+            print(f"[{i+1}/{len(entries)}] {prompt[:60]} -> {out_dir} "
+                  "(existing, skipped)")
+        else:
+            key = jax.random.PRNGKey(args.seed + i)
+            kwargs = dict(
+                num_views=args.num_views,
+                num_inference_steps=args.num_steps,
+                guidance_scale=args.guidance_scale,
+                guidance_type=args.guidance_type,
+                cfg_rescale=args.cfg_rescale,
+                render_size=args.render_size, image_size=args.image_size,
+                refiner=refiner,
+                use_3d_mode_every_m_steps=args.use_3d_mode_every_m_steps,
+            )
+            if cams is not None:
+                import jax.numpy as jnp
+
+                dense = jnp.asarray(cams)
+                kwargs["cameras"] = pipe.sparse_views(dense, args.num_views)
+            result = pipe.generate(prompt, key, **kwargs)
+            jax.block_until_ready(result["images_gs_render"])
+
+            os.makedirs(out_dir, exist_ok=True)
+            frames = postprocess_image(
+                np.asarray(result["images_gs_render"][0]))
+            for v, frame in enumerate(frames):
+                save_image(frame, view_paths[v])
+            save_image(make_grid(frames), os.path.join(out_dir, "grid.png"))
 
         entry = {"prompt": prompt, "dir": out_dir}
         if args.compute_metrics:

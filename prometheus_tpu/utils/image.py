@@ -62,6 +62,11 @@ def save_image(arr: np.ndarray, path: str):
     Image.fromarray(arr).save(path)
 
 
+def load_image(path: str) -> np.ndarray:
+    """PNG/JPEG -> uint8 (H, W, 3) — inverse of ``save_image``."""
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
 def save_video(frames: np.ndarray, path: str, fps: int = 30) -> str:
     """(T, H, W, 3) uint8 -> mp4 (imageio/ffmpeg if available) or an
     animated GIF fallback; returns the actual path written."""
