@@ -24,6 +24,54 @@ def nonlinearity(x):
     return jax.nn.silu(x)
 
 
+class _GroupNormCore(nn.Module):
+    """Lane-aligned GroupNorm (f32 stats, one fused normalize pass).
+
+    flax's ``nn.GroupNorm`` reduces over a ``[..., G, C//G]`` reshape; the
+    group-split axis breaks the TPU lane (minor-most) layout and the XLA
+    reduce fusions run far below HBM bandwidth — profiled at ~1/3 of the
+    whole MV-LDM sampler scan. This core instead reduces spatial axes only
+    (lanes preserved) into per-channel [B, C] sums, combines groups on that
+    tiny tensor, folds the affine into one scale/bias, and applies a single
+    fused multiply-add. Same math as flax's default
+    (``use_fast_variance=True``): var = E[x^2] - E[x]^2 in f32.
+
+    Param names/paths match ``nn.GroupNorm`` (``scale``/``bias`` under the
+    parent's ``GroupNorm_0`` scope) so existing weight maps and checkpoints
+    load unchanged.
+    """
+
+    num_groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        red_axes = tuple(range(1, x.ndim - 1))
+        n = math.prod(x.shape[1:-1]) * (c // g)
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=red_axes)            # [B, C], lanes preserved
+        s2 = jnp.sum(xf * xf, axis=red_axes)       # fused into the same pass
+        b = s1.shape[0]
+        g1 = s1.reshape(b, g, c // g).sum(-1)      # tiny group combine
+        g2 = s2.reshape(b, g, c // g).sum(-1)
+        mean = g1 / n
+        var = jnp.maximum(g2 / n - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)    # [B, G]
+        # broadcast group stats back to channels, fold the affine
+        inv_c = jnp.broadcast_to(inv[:, :, None], (b, g, c // g)).reshape(b, c)
+        mean_c = jnp.broadcast_to(mean[:, :, None], (b, g, c // g)).reshape(b, c)
+        scale = inv_c * gamma                      # [B, C] f32
+        bias = beta - mean_c * scale
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        y = xf * scale.reshape(bshape) + bias.reshape(bshape)
+        return y.astype(x.dtype)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with fp32 statistics regardless of compute dtype."""
 
@@ -32,14 +80,12 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dtype = x.dtype
         # full-size configs always divide by 32; tiny test configs fall back
         groups = self.num_groups
         while x.shape[-1] % groups != 0:
             groups //= 2
-        x = nn.GroupNorm(num_groups=groups, epsilon=self.eps,
-                         dtype=jnp.float32)(x.astype(jnp.float32))
-        return x.astype(dtype)
+        return _GroupNormCore(num_groups=groups, epsilon=self.eps,
+                              name="GroupNorm_0")(x)
 
 
 class Conv2d(nn.Module):
