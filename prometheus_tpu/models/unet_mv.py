@@ -130,7 +130,11 @@ class BasicTransformerBlock3D(nn.Module):
         bf, l, c = x.shape
         f = self.num_frames
         b = bf // f
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # dtype=self.dtype: stats stay f32 inside flax, but the OUTPUT keeps
+        # the compute dtype — default dtype promotion (bf16 x, f32 params)
+        # would materialize a full f32 tensor that the next Dense immediately
+        # casts back down (pure HBM waste in the 100-step sampler scan).
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         attn1 = CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
                                name="attn1")
         if f > 1:
@@ -140,10 +144,11 @@ class BasicTransformerBlock3D(nn.Module):
         x = x + h
         x = x + CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
                                name="attn2")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context, kv)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x),
+            context, kv)
         x = x + nn.Dense(c, dtype=self.dtype, name="ff_out")(
             GEGLU(4 * c, dtype=self.dtype, name="ff_geglu")(
-                nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
+                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x))
         )
         return x
 
