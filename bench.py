@@ -233,6 +233,17 @@ def bench_train_step(pipe, *, batch_size=1, num_views=8):
 
     state, metrics = step_fn(state, batch, key)   # compile + 1st step
     sync(metrics["loss"])
+    prof_dir = os.environ.get("BENCH_PROFILE_TRAIN", "")
+    if prof_dir:
+        # two traced steps for the offline MFU breakdown (parse_trace.py);
+        # excluded from the timing loop below
+        from prometheus_tpu.profiling import trace
+
+        with trace(prof_dir):
+            for _ in range(2):
+                state, metrics = step_fn(state, batch, key)
+            sync(metrics["loss"])
+        _log(f"bench: train-step trace written to {prof_dir}")
     n_it = 4
     t0 = time.time()
     for _ in range(n_it):
