@@ -69,19 +69,25 @@ def build_models(cfg, args):
 
     from prometheus_tpu.models import GSDecoderModel, MVLDMModel, TrajDiTModel
 
+    # reference default is bf16-mixed (base_pytorch.yaml:24): bf16 compute,
+    # f32 master params == our dtype=bf16 with flax's f32 param_dtype
+    prec = str(cfg.training.get("precision", "bf16-mixed"))
+    dtype = jnp.bfloat16 if "bf16" in prec else jnp.float32
     if args.small:
-        mv = MVLDMModel(model_channels=32, num_head_channels=16,
+        mv = MVLDMModel(dtype=dtype, model_channels=32, num_head_channels=16,
                         context_dim=64, channel_mult=(1, 2), num_res_blocks=1,
                         disable_3d_attentions=(1, 0, 0, 0, 0),
                         use_checkpoint=True, clip_layers=2, clip_width=64,
                         vae_ch=32, vae_ch_mult=(1, 2), image_size=32)
-        gs = GSDecoderModel(dit_hidden_size=32, dit_depth=1, dit_num_heads=4,
-                            vae_ch=32, vae_ch_mult=(1, 2), max_num_images=4)
-        traj = TrajDiTModel(hidden_size=32, num_blocks=1, num_heads=4,
-                            text_dim=64)
+        gs = GSDecoderModel(dtype=dtype, dit_hidden_size=32, dit_depth=1,
+                            dit_num_heads=4, vae_ch=32, vae_ch_mult=(1, 2),
+                            max_num_images=4)
+        traj = TrajDiTModel(dtype=dtype, hidden_size=32, num_blocks=1,
+                            num_heads=4, text_dim=64)
         return mv, gs, traj
     net = cfg.algorithm.network
     mv = MVLDMModel(
+        dtype=dtype,
         latent_channel=net.latent_channel,
         extra_latent_channel=net.extra_latent_channel,
         image_size=net.image_size,
@@ -97,6 +103,7 @@ def build_models(cfg, args):
     )
     gnet = cfg.gsdecoder.network
     gs = GSDecoderModel(
+        dtype=dtype,
         latent_channel=gnet.latent_channel,
         extra_latent_channel=gnet.extra_latent_channel,
         use_cross_view_dit=gnet.use_cross_view_dit,
@@ -106,7 +113,7 @@ def build_models(cfg, args):
         dit_num_heads=gnet.cross_view_dit.num_heads,
         max_num_images=gnet.cross_view_dit.max_num_images,
     )
-    traj = TrajDiTModel()
+    traj = TrajDiTModel(dtype=dtype)
     return mv, gs, traj
 
 
@@ -149,6 +156,8 @@ def dummy_sv_camera(image_size: int):
 
 def main():
     args = parse_args()
+    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     import jax
     import jax.numpy as jnp
 
