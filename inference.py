@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--guidance_type", type=str, default="joint",
                    choices=["none", "text", "pose", "joint", "hybrid"])
     p.add_argument("--cfg_rescale", type=float, default=0.7)
+    p.add_argument("--shard_views", action="store_true",
+                   help="shard the denoise scan's views over all local "
+                        "devices (latency-parallel inference; "
+                        "MVLDMSystem.sample_view_sharded)")
     p.add_argument("--cfg_interval_frac", type=float, default=None,
                    help="fast mode: apply CFG only on this high-noise "
                         "fraction of steps (Kynkaanniemi et al. 2024); "
@@ -215,11 +219,20 @@ def main():
             args.refine, total_iterations=args.refine_iters,
             img_size=min(args.render_size, 256))
 
+    vs_mesh = None
+    if args.shard_views:
+        from prometheus_tpu.parallel import make_mesh
+        vs_mesh = make_mesh()
+        if args.num_views % vs_mesh.shape["data"] != 0:
+            raise SystemExit(f"--shard_views needs num_views divisible by "
+                             f"the device count ({vs_mesh.shape['data']})")
+
     for i, prompt in enumerate(prompts):
         key = jax.random.PRNGKey(args.seed + i)
         t0 = time.time()
         result = pipe.generate(
             prompt, key,
+            view_shard_mesh=vs_mesh,
             num_views=args.num_views,
             num_inference_steps=args.num_steps,
             num_traj_steps=args.num_traj_steps,

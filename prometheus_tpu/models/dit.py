@@ -46,9 +46,14 @@ def modulate(x, shift, scale):
 
 
 class MultiHeadSelfAttention(nn.Module):
+    """``gather_kv_axis``: view-sharded joint attention — K/V are projected
+    from the LOCAL tokens then all-gathered over the mesh axis (attention is
+    permutation-invariant in keys, so device-order concat is exact)."""
+
     num_heads: int
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
+    gather_kv_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -57,7 +62,11 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(b, t, 3, self.num_heads, d), 3, axis=2)
-        out = scaled_dot_product_attention(q[:, :, 0], k[:, :, 0], v[:, :, 0])
+        k, v = k[:, :, 0], v[:, :, 0]
+        if self.gather_kv_axis is not None:
+            k = jax.lax.all_gather(k, self.gather_kv_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.gather_kv_axis, axis=1, tiled=True)
+        out = scaled_dot_product_attention(q[:, :, 0], k, v)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, t, c))
 
 
@@ -101,6 +110,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     use_cross_attention: bool = False
     dtype: Dtype = jnp.float32
+    gather_kv_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, c, context=None):
@@ -114,7 +124,8 @@ class DiTBlock(nn.Module):
         norm = lambda y, nm: nn.LayerNorm(
             use_bias=False, use_scale=False, epsilon=1e-6, name=nm)(y)
         x = x + g_a[:, None, :] * MultiHeadSelfAttention(
-            self.num_heads, dtype=self.dtype, name="attn"
+            self.num_heads, dtype=self.dtype,
+            gather_kv_axis=self.gather_kv_axis, name="attn"
         )(modulate(norm(x, "norm1"), sh_a, sc_a))
         if self.use_cross_attention:
             assert context is not None

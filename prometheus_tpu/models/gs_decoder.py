@@ -42,6 +42,9 @@ class GSDecoderModel(nn.Module):
     vae_ch: int = 128
     vae_ch_mult: tuple = (1, 2, 4, 4)
     dtype: Dtype = jnp.float32
+    # view-sharded decode: see CrossViewDiT.view_axis. Params are identical
+    # with or without it (clone shares checkpoints).
+    view_axis: str | None = None
 
     def setup(self):
         lat_total = self.latent_channel + self.extra_latent_channel  # 14
@@ -67,6 +70,7 @@ class GSDecoderModel(nn.Module):
                 num_heads=self.dit_num_heads,
                 max_num_images=self.max_num_images,
                 dtype=self.dtype,
+                view_axis=self.view_axis,
             )
 
     def encode_image(self, images: jax.Array, key: jax.Array | None = None) -> jax.Array:

@@ -44,6 +44,10 @@ class MVLDMModel(nn.Module):
     vae_ch: int = 128
     vae_ch_mult: tuple = (1, 2, 4, 4)
     dtype: Dtype = jnp.float32
+    # view-sharded (sequence-parallel) inference: see MultiViewUNet.view_axis.
+    # Params are identical with or without it, so a plain
+    # ``dataclasses.replace(model, view_axis=...)`` clone shares checkpoints.
+    view_axis: str | None = None
 
     @property
     def latent_size(self) -> int:
@@ -63,6 +67,7 @@ class MVLDMModel(nn.Module):
             use_checkpoint=self.use_checkpoint,
             remat_policy=self.remat_policy,
             dtype=self.dtype,
+            view_axis=self.view_axis,
         )
         self.vae = AutoencoderKL(
             embed_dim=self.latent_channel, ch=self.vae_ch,

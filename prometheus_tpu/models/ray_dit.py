@@ -37,6 +37,10 @@ class CrossViewDiT(nn.Module):
     max_num_images: int = 8
     patch_size: int = 1
     dtype: Dtype = jnp.float32
+    # view-sharded (sequence-parallel) decode: N counts only this device's
+    # views; joint attention all-gathers K/V over the mesh axis and the
+    # per-view position table is offset by the device's global view index.
+    view_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, t) -> jax.Array:
@@ -52,9 +56,15 @@ class CrossViewDiT(nn.Module):
         tokens = xh.reshape(B, N, num_patches, self.hidden_size)
 
         # Per-view + per-patch sinusoidal position encodings.
-        view_pe = jnp.asarray(
-            sinusoid_table(self.max_num_images, self.hidden_size, 10000.0)
-        )[:N][None, :, None, :]
+        view_table = jnp.asarray(
+            sinusoid_table(self.max_num_images, self.hidden_size, 10000.0))
+        if self.view_axis is not None:
+            # this shard holds global views [idx*N, (idx+1)*N)
+            start = jax.lax.axis_index(self.view_axis) * N
+            view_pe = jax.lax.dynamic_slice_in_dim(view_table, start, N, 0)
+        else:
+            view_pe = view_table[:N]
+        view_pe = view_pe[None, :, None, :]
         patch_pe = jnp.asarray(
             sinusoid_table(num_patches, self.hidden_size, 70007.0)
         )[None, None, :, :]
@@ -67,6 +77,7 @@ class CrossViewDiT(nn.Module):
 
         for i in range(self.depth):
             tokens = DiTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                              gather_kv_axis=self.view_axis,
                               name=f"block_{i}")(tokens, c)
 
         out = FinalLayer(P * P * self.out_channels, dtype=self.dtype,
@@ -92,6 +103,7 @@ class CrossViewDiTWrapped(nn.Module):
     num_heads: int = 16
     max_num_images: int = 8
     dtype: Dtype = jnp.float32
+    view_axis: str | None = None
 
     @nn.compact
     def __call__(self, latents: jax.Array, t=1000.0) -> jax.Array:
@@ -104,7 +116,7 @@ class CrossViewDiTWrapped(nn.Module):
             in_channels=self.dit_channels, out_channels=self.dit_channels,
             width=H // 2, hidden_size=self.hidden_size, depth=self.depth,
             num_heads=self.num_heads, max_num_images=self.max_num_images,
-            dtype=self.dtype, name="dit",
+            dtype=self.dtype, view_axis=self.view_axis, name="dit",
         )(x, t)
         xh = jnp.moveaxis(x.reshape(B * N, self.dit_channels, H // 2, W // 2), 1, -1)
         xh = UpsampleConv(self.latent_channels, dtype=self.dtype,

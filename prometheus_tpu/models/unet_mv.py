@@ -74,11 +74,18 @@ class CrossAttention(nn.Module):
     (each ``(B, Tk, inner)``) — the sampler hoists the CONSTANT text K/V out
     of its 100-step scan (they depend only on the prompt, not on x; see
     ``precompute_text_kv``). When given, ``to_k``/``to_v`` are skipped.
+
+    ``gather_kv_axis``: mesh axis name for VIEW-SHARDED joint attention
+    (sequence-parallel inference): K/V are projected from the LOCAL tokens
+    and then all-gathered over the axis, so each device attends its local
+    queries against every view's keys/values. Attention is permutation-
+    invariant in the key axis, so the device-order concatenation is exact.
     """
 
     heads: int
     dim_head: int
     dtype: Dtype = jnp.float32
+    gather_kv_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, context=None, kv=None):
@@ -93,6 +100,9 @@ class CrossAttention(nn.Module):
                          name="to_k")(ctx)
             v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
                          name="to_v")(ctx)
+        if self.gather_kv_axis is not None:
+            k = jax.lax.all_gather(k, self.gather_kv_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.gather_kv_axis, axis=1, tiled=True)
         tk = k.shape[1]
         out = scaled_dot_product_attention(
             q.reshape(b, tq, self.heads, self.dim_head),
@@ -117,12 +127,18 @@ class GEGLU(nn.Module):
 
 
 class BasicTransformerBlock3D(nn.Module):
-    """self-attn (joint over ``num_frames`` views) -> text cross-attn -> GEGLU ff."""
+    """self-attn (joint over ``num_frames`` views) -> text cross-attn -> GEGLU ff.
+
+    ``view_axis``: when set, ``num_frames`` counts only the LOCAL views of a
+    view-sharded (shard_map) program; the joint self-attention gathers K/V
+    across the mesh axis so attention still spans every view globally.
+    """
 
     heads: int
     dim_head: int
     num_frames: int = 1
     dtype: Dtype = jnp.float32
+    view_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, context, kv=None):
@@ -136,8 +152,8 @@ class BasicTransformerBlock3D(nn.Module):
         # casts back down (pure HBM waste in the 100-step sampler scan).
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         attn1 = CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
-                               name="attn1")
-        if f > 1:
+                               gather_kv_axis=self.view_axis, name="attn1")
+        if f > 1 or self.view_axis is not None:
             h = attn1(h.reshape(b, f * l, c)).reshape(bf, l, c)
         else:
             h = attn1(h)
@@ -161,6 +177,7 @@ class SpatialTransformer3D(nn.Module):
     num_frames: int = 1     # 1 == 2-D attention (disable_3d)
     depth: int = 1
     dtype: Dtype = jnp.float32
+    view_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, context, kv=None):
@@ -171,7 +188,8 @@ class SpatialTransformer3D(nn.Module):
         for i in range(self.depth):
             h = BasicTransformerBlock3D(
                 self.heads, self.dim_head, num_frames=self.num_frames,
-                dtype=self.dtype, name=f"block_{i}")(
+                dtype=self.dtype, view_axis=self.view_axis,
+                name=f"block_{i}")(
                 h, context, kv[i] if kv is not None else None)
         h = nn.Dense(c, dtype=self.dtype, kernel_init=nn.initializers.zeros,
                      name="proj_out")(h)
@@ -216,6 +234,11 @@ class MultiViewUNet(nn.Module):
     # chains (the usual TPU MFU sweet spot when HBM allows)
     remat_policy: str = "full"
     dtype: Dtype = jnp.float32
+    # mesh axis name for view-sharded (sequence-parallel) inference: the
+    # caller runs this module inside shard_map with the view/frame dim split
+    # over the axis; every 3D-attention site all-gathers K/V across it.
+    # 2D (disable_3d) sites stay per-view and never communicate.
+    view_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, timesteps, context, num_frames: int = 1,
@@ -253,6 +276,7 @@ class MultiViewUNet(nn.Module):
                 num_frames=1 if disable else num_frames,
                 depth=self.transformer_depth,
                 dtype=self.dtype, name=name,
+                view_axis=None if disable else self.view_axis,
             )
             kv = text_kv.get(name) if text_kv is not None else None
             return lambda hh, ctx: mod(hh, ctx, kv)

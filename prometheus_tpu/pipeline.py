@@ -109,9 +109,17 @@ class PrometheusPipeline:
         use_3d_mode_every_m_steps: int = -1,
         render_tile_capacity: int = 1024,
         cfg_interval_frac: float | None = None,
+        view_shard_mesh=None,
     ) -> dict:
         """Full text -> 3DGS scene generation. Returns a result dict with
-        images/depths (2D decode), gaussians, and GS renders."""
+        images/depths (2D decode), gaussians, and GS renders.
+
+        ``view_shard_mesh``: optional ``jax.sharding.Mesh`` — runs the
+        denoising scan view-SHARDED over its ``data`` axis
+        (``MVLDMSystem.sample_view_sharded``), scaling single-scene LATENCY
+        with chips instead of batch throughput. Incompatible with
+        ``use_3d_mode_every_m_steps > 0`` (the 3D-mode re-render is not
+        sharded yet)."""
         if isinstance(text, str):
             text = [text]
         B = len(text)
@@ -130,6 +138,10 @@ class PrometheusPipeline:
             dense = cameras
 
         hw = latent_hw or self.mvldm.model.latent_size
+        if view_shard_mesh is not None and use_3d_mode_every_m_steps > 0:
+            raise ValueError("view_shard_mesh is not supported together with "
+                             "use_3d_mode_every_m_steps (3D-mode re-render "
+                             "is not view-sharded)")
         if use_3d_mode_every_m_steps > 0:
             # render-consistent resampling every m steps (reference
             # mv_ldm_system.py:798-815); needs the stage-1 decoder in the loop
@@ -149,6 +161,14 @@ class PrometheusPipeline:
                 guidance_scale=guidance_scale, guidance_type=guidance_type,
                 cfg_rescale=cfg_rescale, latent_hw=hw,
                 render_size=hw * vae_stride)
+        elif view_shard_mesh is not None:
+            latents = self.mvldm.sample_view_sharded(
+                view_shard_mesh, self.mvldm_params, k_mv, cameras, text_emb,
+                uncond_emb, num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, guidance_type=guidance_type,
+                cfg_rescale=cfg_rescale, latent_hw=hw,
+                cfg_interval_frac=cfg_interval_frac,
+            )
         else:
             latents = self.mvldm.sample(
                 self.mvldm_params, k_mv, cameras, text_emb, uncond_emb,
@@ -157,13 +177,19 @@ class PrometheusPipeline:
                 cfg_rescale=cfg_rescale, latent_hw=hw,
                 cfg_interval_frac=cfg_interval_frac,
             )
-        images_pred, depths_pred = self.mvldm.decode_images_and_depths(
-            self.mvldm_params, latents)
+        if view_shard_mesh is not None:
+            (images_pred, depths_pred, gaussians, images_gs, depths_gs,
+             masks_gs) = self.decode_and_render_view_sharded(
+                view_shard_mesh, latents, cameras, render_size=render_size,
+                tile_capacity=render_tile_capacity)
+        else:
+            images_pred, depths_pred = self.mvldm.decode_images_and_depths(
+                self.mvldm_params, latents)
 
-        gaussians = self.decode_gaussians(latents, cameras)
-        images_gs, depths_gs, masks_gs = self.render_views_chunked(
-            cameras, gaussians, h=render_size, w=render_size,
-            backend=self._backend(), tile_capacity=render_tile_capacity)
+            gaussians = self.decode_gaussians(latents, cameras)
+            images_gs, depths_gs, masks_gs = self.render_views_chunked(
+                cameras, gaussians, h=render_size, w=render_size,
+                backend=self._backend(), tile_capacity=render_tile_capacity)
 
         result = {
             "cameras": cameras,
@@ -309,6 +335,65 @@ class PrometheusPipeline:
                 "images_pred": images_pred, "depths_pred": depths_pred,
                 "gaussians": gaussians, "images_gs_render": imgs,
                 "depths_gs_render": deps, "masks_gs_render": masks}
+
+    # ---------------------------------------------------------------------
+    def decode_and_render_view_sharded(self, mesh, latents: jax.Array,
+                                       cameras: jax.Array, *,
+                                       render_size: int = 512,
+                                       tile_capacity: int = 1024,
+                                       axis: str = "data"):
+        """View-sharded tail of ``generate``: 2D decode, GS decode (with the
+        cross-view DiT's K/V gathered over the mesh axis), per-view gaussian
+        conversion, then ONE gaussian all-gather so every device renders its
+        local views against the full scene. Complements
+        ``MVLDMSystem.sample_view_sharded`` — together the whole text->3DGS
+        latency scales with chips (the reference is single-GPU,
+        ``/root/reference/inference.py:44-59``).
+
+        Returns ``(images_pred, depths_pred, gaussians, images_gs,
+        depths_gs, masks_gs)`` with view-major layouts identical to the
+        unsharded path."""
+        try:
+            from jax import shard_map  # jax >= 0.8
+            _check = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+            _check = {"check_rep": False}
+        from jax.sharding import PartitionSpec as P
+
+        B, N = cameras.shape[:2]
+        V = mesh.shape[axis]
+        if N % V != 0:
+            raise ValueError(f"num views ({N}) must be divisible by mesh "
+                             f"axis '{axis}' size ({V})")
+        gsd_sp = self.gsdecoder.clone(view_axis=axis)
+        kw = dict(self.gs_kwargs)
+        backend = self._backend()
+
+        def run(mv_params, gs_vars, lat, cams):
+            imgs, deps = self.mvldm.decode_images_and_depths(mv_params, lat)
+            h, w = lat.shape[-2:]
+            rm = make_raymap(cams, h, w).astype(lat.dtype)
+            raw = gsd_sp.apply(gs_vars, jnp.concatenate([lat, rm], axis=2),
+                               method=GSDecoderModel.decode_latent)
+            g_local = convert_gaussians(raw, cams, **kw)
+            # one (small) collective: the full gaussian set on every device,
+            # so each device renders its local cameras against the scene
+            g_full = jax.tree.map(
+                lambda a: jax.lax.all_gather(a, axis, axis=1, tiled=True),
+                g_local)
+            ri, rd, rmask = PrometheusPipeline.render_views_chunked(
+                cams, g_full, h=render_size, w=render_size,
+                backend=backend, tile_capacity=tile_capacity)
+            return imgs, deps, g_local, ri, rd, rmask
+
+        vs = P(None, axis)
+        fn = shard_map(
+            run, mesh=mesh, in_specs=(P(), P(), vs, vs),
+            out_specs=(vs, vs, P(None, axis), vs, vs, vs), **_check)
+        imgs, deps, gaussians, ri, rd, rmask = fn(
+            self.mvldm_params, self.gsdecoder_vars, latents, cameras)
+        return imgs, deps, gaussians, ri, rd, rmask
 
     # ---------------------------------------------------------------------
     @staticmethod

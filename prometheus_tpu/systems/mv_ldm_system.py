@@ -73,12 +73,17 @@ class MVLDMSystem:
     def _guided_output(self, params, x, sigma, text_emb, uncond_text_emb,
                        pose_emb, uncond_pose_emb, guidance_type: str,
                        guidance_scale: float, cfg_rescale: float,
-                       text_kv: dict | None = None):
+                       text_kv: dict | None = None, model=None,
+                       view_axis: str | None = None):
         """x: (B, N, 8, h, w) VE-noisy latents. Returns guided net output.
 
         ``text_kv``: precomputed K/V for the CFG-stacked text context
         (``precompute_guided_text_kv``) — hoisted out of the sampling scan.
+        ``model``/``view_axis``: view-sharded inference — ``model`` is a
+        ``view_axis``-enabled clone of ``self.model`` and the CFG-rescale
+        statistics are reduced globally across the mesh axis.
         """
+        model = self.model if model is None else model
         B, N = x.shape[:2]
         x_in = x * self.schedule.c_in(sigma)
         t = jnp.broadcast_to(self._t_cond(sigma), (B, N))
@@ -89,15 +94,15 @@ class MVLDMSystem:
             pose_all = jnp.concatenate(poses, 0)
             t_all = jnp.concatenate([t] * len(xs), 0)
             inp = jnp.concatenate([x_all, pose_all], axis=2)
-            return self.model.apply(params, inp, txt_all, t_all,
-                                    text_kv=text_kv,
-                                    method=MVLDMModel.denoise)
+            return model.apply(params, inp, txt_all, t_all,
+                               text_kv=text_kv,
+                               method=MVLDMModel.denoise)
 
         if guidance_type == "none":
             inp = jnp.concatenate([x_in, pose_emb], axis=2)
-            return self.model.apply(params, inp, text_emb, t,
-                                    text_kv=text_kv,
-                                    method=MVLDMModel.denoise)
+            return model.apply(params, inp, text_emb, t,
+                               text_kv=text_kv,
+                               method=MVLDMModel.denoise)
         if guidance_type == "text":
             out = run([x_in, x_in], [text_emb, uncond_text_emb],
                       [pose_emb, pose_emb])
@@ -125,8 +130,24 @@ class MVLDMSystem:
             guided = uncond + guidance_scale * (cond - uncond)
 
         if cfg_rescale > 0:
-            std_cond = jnp.std(cond, axis=(1, 2, 3, 4), keepdims=True)
-            std_g = jnp.std(guided, axis=(1, 2, 3, 4), keepdims=True)
+            if view_axis is None:
+                std_cond = jnp.std(cond, axis=(1, 2, 3, 4), keepdims=True)
+                std_g = jnp.std(guided, axis=(1, 2, 3, 4), keepdims=True)
+            else:
+                # per-scene std across ALL views of the sharded scene:
+                # two-pass mean/variance with psum (== jnp.std up to fp
+                # association)
+                def gstd(a):
+                    axes = (1, 2, 3, 4)
+                    n = (a[0].size
+                         * jax.lax.psum(jnp.ones((), a.dtype), view_axis))
+                    mean = jax.lax.psum(
+                        jnp.sum(a, axis=axes, keepdims=True), view_axis) / n
+                    var = jax.lax.psum(
+                        jnp.sum((a - mean) ** 2, axis=axes, keepdims=True),
+                        view_axis) / n
+                    return jnp.sqrt(var)
+                std_cond, std_g = gstd(cond), gstd(guided)
             factor = cfg_rescale * (std_cond / jnp.maximum(std_g, 1e-8)) \
                 + (1.0 - cfg_rescale)
             guided = guided * factor
@@ -188,13 +209,33 @@ class MVLDMSystem:
         """
         B, N = cameras.shape[:2]
         h = w = latent_hw
-        pose_emb, uncond_pose_emb = self._pose_embeddings(cameras, h, w, view_mask)
-
         sigmas = self.schedule.inference_sigmas(num_inference_steps)
         if self.adjust_sigma_on_n:
             sigmas = sigmas / jnp.sqrt(self.num_pred_views / N)
         x = sigmas[0] * jax.random.normal(
             key, (B, N, 2 * self.latent_channel, h, w))
+        return self._sample_core(
+            self.model, params, x, sigmas, cameras, text_embeddings,
+            uncond_text_embeddings,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, guidance_type=guidance_type,
+            cfg_rescale=cfg_rescale, view_mask=view_mask,
+            ref_latents=ref_latents, cfg_interval_frac=cfg_interval_frac)
+
+    def _sample_core(self, model, params, x, sigmas, cameras,
+                     text_embeddings, uncond_text_embeddings, *,
+                     num_inference_steps, guidance_scale, guidance_type,
+                     cfg_rescale, view_mask, ref_latents, cfg_interval_frac,
+                     view_axis: str | None = None):
+        """The denoising scan, shared by ``sample`` (one program) and
+        ``sample_view_sharded`` (shard_map body, where ``cameras``/``x`` hold
+        only this device's views). Everything here is per-view local except
+        the 3D-attention K/V gathers inside ``model`` and the CFG-rescale
+        statistics (psum when ``view_axis`` is set)."""
+        B, N = cameras.shape[:2]
+        h, w = x.shape[-2:]
+        pose_emb, uncond_pose_emb = self._pose_embeddings(
+            cameras, h, w, view_mask)
         # constant across the scan: hoisted text K/V (VERDICT r2 weak #5)
         text_kv = self._text_kv_for_guidance(
             params, text_embeddings, uncond_text_embeddings,
@@ -206,7 +247,8 @@ class MVLDMSystem:
                 out = self._guided_output(
                     params, x, sigma, text_embeddings, uncond_text_embeddings,
                     pose_emb, uncond_pose_emb, gtype, guidance_scale,
-                    cfg_rescale, text_kv=kv)
+                    cfg_rescale, text_kv=kv, model=model,
+                    view_axis=view_axis)
                 x0 = self.schedule.denoise_output_to_x0(x, out, sigma)
                 if ref_latents is not None and view_mask is not None:
                     m = view_mask[:, :, :1]
@@ -229,6 +271,83 @@ class MVLDMSystem:
         x, x0s = jax.lax.scan(make_body("none", kv_none), x,
                               jnp.arange(n_cfg, num_inference_steps))
         return x0s[-1]
+
+    def sample_view_sharded(
+        self,
+        mesh,
+        params,
+        key: jax.Array,
+        cameras: jax.Array,            # (B, N, 18) — N sharded over ``axis``
+        text_embeddings: jax.Array,
+        uncond_text_embeddings: jax.Array,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        guidance_type: str = "joint",
+        cfg_rescale: float = 0.7,
+        latent_hw: int = 32,
+        view_mask: jax.Array | None = None,
+        ref_latents: jax.Array | None = None,
+        cfg_interval_frac: float | None = None,
+        axis: str = "data",
+    ):
+        """Latency-parallel sampling: the N views are SHARDED over ``mesh``
+        axis ``axis`` and the full denoise scan runs as one shard_map
+        program. Per-view compute (convs, norms, 2D attention sites, text
+        cross-attention, scheduler steps) is fully local; the cross-view 3D
+        joint-attention sites all-gather K/V over the axis (attention is
+        permutation-invariant in keys, so device-order concat is exact) and
+        the CFG-rescale std is psum-reduced — results match ``sample`` to
+        float tolerance. The reference's inference is single-GPU only
+        (``/root/reference/inference.py:44-59``); this is the TPU-native
+        LATENCY scaling path (vs ``serve.py``'s prompt-parallel THROUGHPUT
+        sharding), riding ICI with one (K, V) all-gather per 3D site.
+        """
+        try:
+            from jax import shard_map  # jax >= 0.8
+            _check = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+            _check = {"check_rep": False}
+        from jax.sharding import PartitionSpec as P
+
+        B, N = cameras.shape[:2]
+        V = mesh.shape[axis]
+        if N % V != 0:
+            raise ValueError(
+                f"num views ({N}) must be divisible by mesh axis "
+                f"'{axis}' size ({V})")
+        h = w = latent_hw
+        sigmas = self.schedule.inference_sigmas(num_inference_steps)
+        if self.adjust_sigma_on_n:
+            # sigma adjustment uses the GLOBAL view count
+            sigmas = sigmas / jnp.sqrt(self.num_pred_views / N)
+        # identical initial noise to ``sample`` (generated unsharded, then
+        # split over the axis) so both paths agree bit-for-bit in inputs
+        x = sigmas[0] * jax.random.normal(
+            key, (B, N, 2 * self.latent_channel, h, w))
+        model_sp = self.model.clone(view_axis=axis)
+        has_mask = view_mask is not None
+        has_ref = ref_latents is not None
+
+        def run(params, x, sigmas, cams, temb, utemb, vmask, rlat):
+            return self._sample_core(
+                model_sp, params, x, sigmas, cams, temb, utemb,
+                num_inference_steps=num_inference_steps,
+                guidance_scale=guidance_scale, guidance_type=guidance_type,
+                cfg_rescale=cfg_rescale,
+                view_mask=vmask if has_mask else None,
+                ref_latents=rlat if has_ref else None,
+                cfg_interval_frac=cfg_interval_frac, view_axis=axis)
+
+        vs = P(None, axis)
+        vmask = view_mask if has_mask \
+            else jnp.zeros((B, N, 1, h, w), x.dtype)
+        rlat = ref_latents if has_ref else jnp.zeros_like(x)
+        fn = shard_map(run, mesh=mesh,
+                       in_specs=(P(), vs, P(), vs, P(), P(), vs, vs),
+                       out_specs=vs, **_check)
+        return fn(params, x, sigmas, cameras, text_embeddings,
+                  uncond_text_embeddings, vmask, rlat)
 
     # -- 3D-mode sampling ------------------------------------------------------
     def render_to_latent(self, params, gs_system, gs_variables, images,
