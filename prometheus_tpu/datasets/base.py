@@ -21,8 +21,6 @@ from abc import ABC, abstractmethod
 
 import numpy as np
 
-from ..utils import cameras as cam_utils
-
 
 def load_annotation(path: str):
     """Load a json/pkl/npz/txt annotation file by extension."""
@@ -144,25 +142,40 @@ class MultiviewDataset(BaseDataset):
 
     # -- camera processing (base_dataset.py:587-603) ----------------------------
     def process_cameras(self, c2ws: np.ndarray, intrinsics: np.ndarray) -> np.ndarray:
-        """(N,3,4) + (N,4) -> (N,18) camera vectors; raises on bad scenes."""
-        import jax.numpy as jnp
+        """(N,3,4) + (N,4) -> (N,18) camera vectors; raises on bad scenes.
 
+        Pure numpy (float64) on purpose: this runs per scene inside loader
+        worker threads, and jax ops here would dispatch tiny programs to the
+        accelerator (same math as ``utils.cameras.normalize_poses`` /
+        ``check_valid_rotations``, which stay the in-graph versions)."""
+        c2ws = np.asarray(c2ws, np.float64)  # (N, 3, 4)
+        n = c2ws.shape[0]
+        bottom = np.broadcast_to(
+            np.asarray([0.0, 0.0, 0.0, 1.0]), (n, 1, 4))
+        sq = np.concatenate([c2ws, bottom], axis=1)  # (N, 4, 4)
         if self.normalized_cameras:
-            out, t_norm = cam_utils.normalize_poses(
-                jnp.asarray(c2ws), num_input_views=self.num_input_views)
-            c2ws = np.asarray(out)
-            if float(t_norm) < self.scene_scale_threshold:
+            # first-frame-relative + max-translation scaling (eps matches
+            # normalize_poses)
+            rel = (np.linalg.inv(sq[0])[None] @ sq)[:, :3, :]
+            nv = self.num_input_views if self.num_input_views > 0 else n
+            t_norm = float(
+                np.linalg.norm(rel[:nv, :3, 3], axis=-1).max())
+            rel = np.concatenate(
+                [rel[:, :3, :3], rel[:, :3, 3:] / (t_norm + 1e-2)], axis=-1)
+            c2ws = rel
+            if t_norm < self.scene_scale_threshold:
                 raise ValueError(
-                    f"camera motion too small: {float(t_norm):.4f}")
-        rots_ok = bool(cam_utils.check_valid_rotations(
-            jnp.asarray(c2ws[:, :3, :3]), tol=1e-5))
+                    f"camera motion too small: {t_norm:.4f}")
+        rots = c2ws[:, :3, :3]
+        orth = np.abs(rots @ np.swapaxes(rots, -1, -2) - np.eye(3)).max()
+        det = np.abs(np.linalg.det(rots) - 1.0).max()
+        rots_ok = (orth < 1e-3) and (det < 1e-3)
         if (not rots_ok) or (np.linalg.norm(c2ws[:, :3, 3], axis=-1) > 5).any():
             raise ValueError("invalid rotation matrix or runaway translation")
-        n = c2ws.shape[0]
         hw = np.full((n, 2), float(self.img_size), np.float32)
         return np.concatenate(
             [c2ws.reshape(n, 12).astype(np.float32),
-             intrinsics.astype(np.float32), hw], axis=1)
+             np.asarray(intrinsics, np.float32), hw], axis=1)
 
     # -- the template method ----------------------------------------------------
     def get_raw_data(self, idx: int, rng):
@@ -171,9 +184,13 @@ class MultiviewDataset(BaseDataset):
         frame_ids = self.sample_views(scene["num_frames"], rng)
         images, c2ws, intrinsics = self.get_frames_data(scene, frame_ids, rng)
         cameras = self.process_cameras(c2ws, intrinsics)
-        images = np.stack([
-            np.moveaxis(im.astype(np.float32) / 127.5 - 1.0, -1, 0)
-            for im in images])
+        images = np.asarray(images)
+        if not (images.dtype == np.float32 and images.shape[1] == 3):
+            # legacy uint8 HWC frames -> normalized float CHW (the fused
+            # transforms.crop_resize_normalize path emits these directly)
+            images = np.stack([
+                np.moveaxis(im.astype(np.float32) / 127.5 - 1.0, -1, 0)
+                for im in images])
         return {
             "images_mv": images,                      # (N, 3, H, W) [-1,1]
             "cameras_mv": cameras,                    # (N, 18)

@@ -17,7 +17,7 @@ import numpy as np
 
 from ..utils.cameras import opencv_to_opengl
 from .base import MultiviewDataset
-from .transforms import center_crop_and_resize, decode_image
+from .transforms import crop_resize_normalize, decode_image
 
 
 def _load_chunk(path: str):
@@ -73,7 +73,7 @@ class RealEstate10KDataset(MultiviewDataset):
             cam = np.asarray(data["cameras"][i], np.float32)
             fx, fy = cam[0] * w, cam[1] * h
             cx, cy = cam[2] * w, cam[3] * h
-            img, intr = center_crop_and_resize(
+            img, intr = crop_resize_normalize(
                 raw, self.img_size, np.asarray([fx, fy, cx, cy], np.float32))
             w2c = np.eye(4, dtype=np.float64)
             w2c[:3] = cam[6:18].reshape(3, 4)
@@ -105,9 +105,11 @@ class RealEstate10KDatasetEval(RealEstate10KDataset):
         ids = np.asarray(list(entry["context"]) + list(entry["target"]))
         images, c2ws, intrinsics = self.get_frames_data(scene, ids, rng)
         cameras = self.process_cameras(c2ws, intrinsics)
-        images = np.stack([
-            np.moveaxis(im.astype(np.float32) / 127.5 - 1.0, -1, 0)
-            for im in images])
+        images = np.asarray(images)
+        if not (images.dtype == np.float32 and images.shape[1] == 3):
+            images = np.stack([
+                np.moveaxis(im.astype(np.float32) / 127.5 - 1.0, -1, 0)
+                for im in images])
         return {
             "images_mv": images,
             "cameras_mv": cameras,

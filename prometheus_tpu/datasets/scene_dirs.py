@@ -25,7 +25,7 @@ import numpy as np
 from ..utils.cameras import opencv_to_opengl
 from .base import MultiviewDataset, load_annotation
 from .file_readers import make_reader
-from .transforms import center_crop_and_resize, decode_image
+from .transforms import crop_resize_normalize, decode_image
 
 
 class AnnotatedScenesDataset(MultiviewDataset):
@@ -79,8 +79,8 @@ class AnnotatedScenesDataset(MultiviewDataset):
             intrinsics = np.tile(intrinsics, (poses.shape[0], 1))
         for i in frame_ids:
             raw = decode_image(self.reader.fetch(scene["frames"][i]))
-            img, intr = center_crop_and_resize(raw, self.img_size,
-                                               intrinsics[i, :4].copy())
+            img, intr = crop_resize_normalize(raw, self.img_size,
+                                              intrinsics[i, :4].copy())
             images.append(img)
             c2ws.append(self._to_opengl(poses[i]))
             intrs.append(intr)

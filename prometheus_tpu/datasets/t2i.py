@@ -21,7 +21,7 @@ import numpy as np
 
 from .base import BaseDataset, load_annotation
 from .file_readers import make_reader
-from .transforms import center_crop_and_resize, decode_image, normalize_image
+from .transforms import crop_resize_normalize, decode_image
 
 _BOILERPLATE = re.compile(
     r"^(the (image|photo) (shows|depicts|features|captures)|"
@@ -61,8 +61,8 @@ class Text2ImageDataset(BaseDataset):
         for k in range(self.images_per_iter):
             item = self.items[(idx + k) % len(self.items)]
             raw = decode_image(self.reader.fetch(item["file"]))
-            img, _ = center_crop_and_resize(raw, self.img_size)
-            images.append(normalize_image(img))
+            img, _ = crop_resize_normalize(raw, self.img_size)
+            images.append(img)
             cap = clean_caption(item.get("caption", ""))
             if rng.random() < self.drop_text_p:
                 cap = ""

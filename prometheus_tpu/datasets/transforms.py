@@ -41,6 +41,34 @@ def center_crop_and_resize(img: np.ndarray, size: int,
     return out, intrinsics
 
 
+def crop_resize_normalize(img: np.ndarray, size: int,
+                          intrinsics: np.ndarray | None = None):
+    """Fused per-frame training transform: central-square crop +
+    ANTIALIASED resize + float32 CHW [-1, 1] normalize, in ONE pass through
+    the native C++ kernel (``prometheus_tpu.native``) when available —
+    the data-plane hot path (every training image goes through this).
+    Falls back to the PIL LANCZOS + numpy path (≈42 dB agreement on
+    textured content; exact on flat regions). Returns ``(chw_f32, intr)``
+    with the same intrinsics adjustment as ``center_crop_and_resize``.
+
+    Set ``PROMETHEUS_NATIVE=0`` to force the pure-python path (A/B bench:
+    ``tools/bench_loader.py``)."""
+    if intrinsics is not None:
+        h, w = img.shape[:2]
+        s = min(h, w)
+        top, left = (h - s) // 2, (w - s) // 2
+        fx, fy, cx, cy = intrinsics
+        scale = size / s
+        intrinsics = np.asarray([
+            fx * scale, fy * scale,
+            (cx - left) * scale, (cy - top) * scale,
+        ], np.float32)
+    from .. import native
+
+    # native path falls back internally to PIL+numpy when the lib is absent
+    return native.center_crop_resize_normalize(img, size), intrinsics
+
+
 def normalize_image(img: np.ndarray) -> np.ndarray:
     """uint8 (H, W, 3) -> float32 (3, H, W) in [-1, 1] (channels-first)."""
     out = img.astype(np.float32) / 127.5 - 1.0

@@ -35,6 +35,8 @@ def _build() -> bool:
 def get_lib():
     """Load (building if needed) the native library; None if unavailable."""
     global _lib
+    if os.environ.get("PROMETHEUS_NATIVE", "1") == "0":
+        return None   # forced pure-python mode (A/B benchmarking, debugging)
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB) or (

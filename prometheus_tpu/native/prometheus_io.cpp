@@ -23,41 +23,101 @@
 
 extern "C" {
 
-// uint8 HWC (h, w, 3) -> central square crop -> bilinear resize to
-// (out_size, out_size) -> float32 CHW in [-1, 1].
-// Returns 0 on success.
+// Separable triangle-filter (antialiased bilinear, the PIL/torchvision
+// `antialias=True` convention) resample weights for one output axis.
+static void make_taps(int in_size, int out_size,
+                      std::vector<int>& starts, std::vector<int>& counts,
+                      std::vector<float>& weights, int& max_taps) {
+    const float scale = static_cast<float>(in_size) / out_size;
+    const float fscale = scale > 1.0f ? scale : 1.0f;   // filter stretch
+    const float support = fscale;                        // triangle radius
+    max_taps = static_cast<int>(std::ceil(support)) * 2 + 1;
+    starts.resize(out_size);
+    counts.resize(out_size);
+    weights.assign(static_cast<size_t>(out_size) * max_taps, 0.0f);
+    for (int o = 0; o < out_size; ++o) {
+        const float center = (o + 0.5f) * scale;
+        int lo = static_cast<int>(std::floor(center - support + 0.5f));
+        int hi = static_cast<int>(std::floor(center + support + 0.5f));
+        lo = std::max(lo, 0);
+        hi = std::min(hi, in_size);
+        float total = 0.0f;
+        float* wrow = &weights[static_cast<size_t>(o) * max_taps];
+        for (int x = lo; x < hi; ++x) {
+            float t = 1.0f - std::abs((x + 0.5f - center) / fscale);
+            if (t < 0.0f) t = 0.0f;
+            wrow[x - lo] = t;
+            total += t;
+        }
+        if (total <= 0.0f) {  // degenerate: nearest
+            lo = std::min(std::max(static_cast<int>(center), 0), in_size - 1);
+            hi = lo + 1;
+            wrow[0] = 1.0f;
+            total = 1.0f;
+        }
+        for (int i = 0; i < hi - lo; ++i) wrow[i] /= total;
+        starts[o] = lo;
+        counts[o] = hi - lo;
+    }
+}
+
+// uint8 HWC (h, w, 3) -> central-square crop -> ANTIALIASED separable
+// triangle resize to (out_size, out_size) -> float32 CHW in [-1, 1].
+// (Single-pass fused training-input transform; plain 2-tap bilinear
+// aliases badly on the common 3-8x downscales.) Returns 0 on success.
 int center_crop_resize_normalize(const uint8_t* src, int h, int w,
                                  int out_size, float* dst) {
     if (h <= 0 || w <= 0 || out_size <= 0) return 1;
     const int s = h < w ? h : w;
     const int top = (h - s) / 2;
     const int left = (w - s) / 2;
-    const float scale = static_cast<float>(s) / out_size;
     const int plane = out_size * out_size;
 
-    for (int oy = 0; oy < out_size; ++oy) {
-        // align sample positions with pixel centers (PIL convention)
-        float fy = (oy + 0.5f) * scale - 0.5f;
-        if (fy < 0) fy = 0;
-        int y0 = static_cast<int>(fy);
-        int y1 = y0 + 1 < s ? y0 + 1 : s - 1;
-        float wy = fy - y0;
-        const uint8_t* row0 = src + ((top + y0) * w + left) * 3;
-        const uint8_t* row1 = src + ((top + y1) * w + left) * 3;
+    std::vector<int> xs, xc, ys, yc;
+    std::vector<float> xw, yw;
+    int xt, yt;
+    make_taps(s, out_size, xs, xc, xw, xt);
+    make_taps(s, out_size, ys, yc, yw, yt);
+
+    // pass 1: horizontal resample of the cropped rows -> (s, out_size, 3)
+    std::vector<float> tmp(static_cast<size_t>(s) * out_size * 3);
+    for (int y = 0; y < s; ++y) {
+        const uint8_t* row = src + ((top + y) * w + left) * 3;
+        float* trow = &tmp[static_cast<size_t>(y) * out_size * 3];
         for (int ox = 0; ox < out_size; ++ox) {
-            float fx = (ox + 0.5f) * scale - 0.5f;
-            if (fx < 0) fx = 0;
-            int x0 = static_cast<int>(fx);
-            int x1 = x0 + 1 < s ? x0 + 1 : s - 1;
-            float wx = fx - x0;
-            const int o = oy * out_size + ox;
-            for (int c = 0; c < 3; ++c) {
-                float v00 = row0[x0 * 3 + c], v01 = row0[x1 * 3 + c];
-                float v10 = row1[x0 * 3 + c], v11 = row1[x1 * 3 + c];
-                float v = (1 - wy) * ((1 - wx) * v00 + wx * v01)
-                        + wy * ((1 - wx) * v10 + wx * v11);
-                dst[c * plane + o] = v * (1.0f / 127.5f) - 1.0f;
+            const float* wrow = &xw[static_cast<size_t>(ox) * xt];
+            const int lo = xs[ox], n = xc[ox];
+            float acc0 = 0, acc1 = 0, acc2 = 0;
+            for (int i = 0; i < n; ++i) {
+                const float wgt = wrow[i];
+                const uint8_t* p = row + (lo + i) * 3;
+                acc0 += wgt * p[0];
+                acc1 += wgt * p[1];
+                acc2 += wgt * p[2];
             }
+            trow[ox * 3] = acc0;
+            trow[ox * 3 + 1] = acc1;
+            trow[ox * 3 + 2] = acc2;
+        }
+    }
+    // pass 2: vertical resample + normalize + CHW scatter
+    for (int oy = 0; oy < out_size; ++oy) {
+        const float* wrow = &yw[static_cast<size_t>(oy) * yt];
+        const int lo = ys[oy], n = yc[oy];
+        for (int ox = 0; ox < out_size; ++ox) {
+            float acc0 = 0, acc1 = 0, acc2 = 0;
+            for (int i = 0; i < n; ++i) {
+                const float wgt = wrow[i];
+                const float* p = &tmp[(static_cast<size_t>(lo + i) * out_size
+                                       + ox) * 3];
+                acc0 += wgt * p[0];
+                acc1 += wgt * p[1];
+                acc2 += wgt * p[2];
+            }
+            const int o = oy * out_size + ox;
+            dst[o] = acc0 * (1.0f / 127.5f) - 1.0f;
+            dst[plane + o] = acc1 * (1.0f / 127.5f) - 1.0f;
+            dst[2 * plane + o] = acc2 * (1.0f / 127.5f) - 1.0f;
         }
     }
     return 0;

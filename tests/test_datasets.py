@@ -107,6 +107,36 @@ def test_normalize_image(rng):
     assert out.min() >= -1 and out.max() <= 1
 
 
+def test_fused_crop_resize_normalize_paths_agree(rng):
+    """The fused hot-path transform: native and pure-python paths produce
+    the same intrinsics (exactly) and closely-agreeing pixels; both match
+    the legacy two-step path's intrinsics math."""
+    import os
+
+    from prometheus_tpu.datasets.transforms import crop_resize_normalize
+
+    # structured content: filter choice (triangle-AA vs LANCZOS) only
+    # matters near the Nyquist band, so compare on natural-ish frequencies
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = (127 + 70 * np.sin(yy / 5.0) + 50 * np.cos(xx / 7.0)
+           + rng.normal(0, 10, (48, 64))).clip(0, 255)
+    img = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)],
+                   -1).astype(np.uint8)
+    intr0 = np.asarray([60.0, 60.0, 32.0, 24.0])
+    out_n, intr_n = crop_resize_normalize(img, 32, intr0.copy())
+    os.environ["PROMETHEUS_NATIVE"] = "0"
+    try:
+        out_p, intr_p = crop_resize_normalize(img, 32, intr0.copy())
+    finally:
+        os.environ.pop("PROMETHEUS_NATIVE", None)
+    _, intr_ref = center_crop_and_resize(img, 32, intr0.copy())
+    np.testing.assert_allclose(intr_n, intr_ref, rtol=1e-6)
+    np.testing.assert_allclose(intr_p, intr_ref, rtol=1e-6)
+    assert out_n.shape == out_p.shape == (3, 32, 32)
+    assert out_n.dtype == out_p.dtype == np.float32
+    assert np.abs(out_n - out_p).mean() < 0.03  # triangle-AA vs LANCZOS
+
+
 def test_zip_reader(tmp_path, rng):
     zpath = str(tmp_path / "data.zip")
     with zipfile.ZipFile(zpath, "w") as zf:
