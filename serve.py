@@ -32,11 +32,15 @@ import time
 def generate_batch(pipe, prompts: list[str], key, mesh=None, *,
                    num_views=8, num_inference_steps=50, guidance_scale=7.5,
                    cfg_rescale=0.7, render_size=512, image_size=256,
-                   latent_hw=None, compiled_sample=None):
+                   latent_hw=None, compiled_sample=None, shard_views=False):
     """Run the full pipeline on a batch of prompts, optionally sharded.
 
     ``compiled_sample``: an AOT-compiled sampler executable (``aot_sampler``)
-    — skips trace+compile of the dominant program on warm starts."""
+    — skips trace+compile of the dominant program on warm starts.
+    ``shard_views``: LATENCY mode — instead of sharding prompts over the
+    mesh (throughput), shard each scene's views over it
+    (``sample_view_sharded`` + ``decode_and_render_view_sharded``); right
+    for small batches on big meshes (batch 1 on 8 chips)."""
     import jax
     import jax.numpy as jnp
 
@@ -50,12 +54,24 @@ def generate_batch(pipe, prompts: list[str], key, mesh=None, *,
                                      image_size=image_size)
     cameras = pipe.sparse_views(dense, num_views)
 
+    hw = latent_hw or pipe.mvldm.model.latent_size
+    if shard_views and mesh is not None:
+        latents = pipe.mvldm.sample_view_sharded(
+            mesh, pipe.mvldm_params, k_mv, cameras, text_emb, uncond,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, guidance_type="joint",
+            cfg_rescale=cfg_rescale, latent_hw=hw)
+        _, _, gaussians, imgs, deps, _ = pipe.decode_and_render_view_sharded(
+            mesh, latents, cameras, render_size=render_size)
+        return {"cameras": cameras, "dense_cameras": dense,
+                "latents_pred": latents, "gaussians": gaussians,
+                "images_gs_render": imgs, "depths_gs_render": deps}
+
     if mesh is not None:
         s = data_sharding(mesh)
         text_emb, uncond, cameras = (jax.device_put(x, s)
                                      for x in (text_emb, uncond, cameras))
 
-    hw = latent_hw or pipe.mvldm.model.latent_size
     if compiled_sample is not None:
         latents = compiled_sample(pipe.mvldm_params, k_mv, cameras,
                                   text_emb, uncond)
@@ -158,6 +174,9 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--selftest", action="store_true",
                     help="tiny sharded batch on the local mesh, then exit")
+    ap.add_argument("--shard_views", action="store_true",
+                    help="LATENCY mode: shard each scene's views over the "
+                         "mesh instead of sharding the prompt batch")
     ap.add_argument("--aot_dir", default=None,
                     help="AOT-persist/reuse the compiled sampler here "
                          "(serialize_executable; shape-specific)")
@@ -194,6 +213,17 @@ def main():
         assert out["images_gs_render"].shape[0] == n_dev
         print(f"[serve] selftest OK: {n_dev} prompts sharded over {n_dev} "
               f"devices in {time.time()-t0:.1f}s")
+        t0 = time.time()
+        out = generate_batch(pipe, prompts[:1], jax.random.PRNGKey(0), mesh,
+                             num_views=2 * n_dev, num_inference_steps=2,
+                             render_size=64,
+                             image_size=pipe.mvldm.model.image_size,
+                             latent_hw=pipe.mvldm.model.latent_size,
+                             shard_views=True)
+        jax.block_until_ready(out["images_gs_render"])
+        assert out["images_gs_render"].shape[:2] == (1, 2 * n_dev)
+        print(f"[serve] selftest OK: 1 prompt, {2 * n_dev} views sharded "
+              f"over {n_dev} devices in {time.time()-t0:.1f}s")
         return
 
     prompts = []
