@@ -270,6 +270,26 @@ def main():
 
     honor_jax_platforms_env()
     _start_deadline_watchdog()
+    # chip-free stage FIRST: host data-plane throughput (native C++ vs
+    # pure-python transform). jax-free subprocess, so the artifact carries a
+    # real measured number even if the TPU tunnel is degraded (the deadline
+    # watchdog emits completed stages).
+    if os.environ.get("BENCH_LOADER", "1") == "1":
+        try:
+            import subprocess
+            import sys as _sys
+            r = subprocess.run(
+                [_sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_loader.py"),
+                 "--scenes", "4", "--frames", "12", "--seconds", "8"],
+                capture_output=True, text=True, timeout=600)
+            loader = json.loads(r.stdout.strip().splitlines()[-1])
+            _PARTIAL["loader"] = loader
+            _log(f"bench: loader {loader.get('images_per_s_native')} img/s "
+                 f"native, {loader.get('images_per_s_python')} python")
+        except Exception as e:  # never let the host stage sink the bench
+            _log(f"bench: loader bench failed ({e})")
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     # 100 denoise steps = the reference inference config
     # (/root/reference/inference.py:44-59); override with BENCH_STEPS
@@ -463,6 +483,8 @@ def main():
         **extra_cfg,
         **quality,
     }
+    if "loader" in _PARTIAL:
+        extra["loader"] = _PARTIAL["loader"]
 
     _PARTIAL.update(stage="train_step", render_fps=round(render_fps, 1),
                     **quality)
