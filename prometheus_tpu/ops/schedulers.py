@@ -112,14 +112,28 @@ class Schedule:
         return (x0 - self.c_skip(sigma) * x_t) / self.c_out(sigma)
 
     # -- sampling ----------------------------------------------------------
-    def inference_sigmas(self, num_steps: int) -> jax.Array:
-        """Descending sigma ladder with a trailing 0 (num_steps + 1 entries)."""
-        if self.train_sigmas is not None:
+    def inference_sigmas(self, num_steps: int,
+                         ladder: str = "default") -> jax.Array:
+        """Descending sigma ladder with a trailing 0 (num_steps + 1 entries).
+
+        ``ladder='karras'`` forces rho-7 Karras spacing over the schedule's
+        sigma range even for table (beta) schedules — multistep solvers
+        (dpmpp_2m) need the smooth log-sigma spacing; the reference's
+        linspace-in-timestep ladder has wildly uneven lambda steps near the
+        zero-SNR end and degrades them below Euler."""
+        if self.train_sigmas is not None and ladder != "karras":
             # linspace timestep spacing over the training table
             n = self.num_train_timesteps
             ts = np.linspace(0, n - 1, num_steps)[::-1].copy()
             table = np.asarray(self.train_sigmas)
             sig = np.interp(ts, np.arange(n), table)
+            return jnp.asarray(np.concatenate([sig, [0.0]]), jnp.float32)
+        if self.train_sigmas is not None:
+            lo = float(np.asarray(self.train_sigmas)[0])
+            hi = float(np.asarray(self.train_sigmas)[-1])
+            i = np.linspace(0, 1, num_steps)
+            inv_rho = 1.0 / self.rho
+            sig = (hi**inv_rho + i * (lo**inv_rho - hi**inv_rho)) ** self.rho
             return jnp.asarray(np.concatenate([sig, [0.0]]), jnp.float32)
         if self.sigma_schedule == "karras":
             i = np.linspace(0, 1, num_steps)
@@ -137,6 +151,27 @@ class Schedule:
         """First-order (Euler) ODE step in sigma space."""
         d = (x_t - x0_pred) / sigma
         return x_t + (sigma_next - sigma) * d
+
+    def dpmpp_2m_step(self, x_t, x0_pred, x0_prev, sigma_prev, sigma,
+                      sigma_next, has_prev):
+        """One DPM-Solver++(2M) multistep update (data-prediction form, Lu et
+        al. 2022) in the VE parameterization ``x = x0 + sigma*eps``,
+        ``lambda = -log sigma`` — a second-order exponential integrator that
+        reaches Euler-at-100-steps ODE accuracy in ~1/3 the model evals.
+
+        ``x0_prev``/``sigma_prev`` come from the previous step;
+        ``has_prev`` (0/1) selects the first-order warm-up step (which is the
+        exact-for-constant-x0 DDIM step: ``x0 + (s_n/s)(x - x0)``).
+        ``sigma_next == 0`` (the ladder's trailing entry) returns
+        ``x0``-extrapolation exactly."""
+        sn = jnp.maximum(sigma_next, 1e-20)
+        h = jnp.log(sigma) - jnp.log(sn)               # t_next - t > 0
+        h_last = jnp.log(jnp.maximum(sigma_prev, 1e-20)) - jnp.log(sigma)
+        r = jnp.maximum(h_last / h, 1e-6)
+        d2 = (1.0 + 1.0 / (2.0 * r)) * x0_pred \
+            - (1.0 / (2.0 * r)) * x0_prev
+        d = jnp.where(has_prev > 0.5, d2, x0_pred)
+        return (sigma_next / sigma) * x_t - jnp.expm1(-h) * d
 
 
 def make_schedule(kind: str = "edm", *, high_noise: bool = False,

@@ -110,6 +110,7 @@ class PrometheusPipeline:
         render_tile_capacity: int = 1024,
         cfg_interval_frac: float | None = None,
         view_shard_mesh=None,
+        sampler: str = "euler",
     ) -> dict:
         """Full text -> 3DGS scene generation. Returns a result dict with
         images/depths (2D decode), gaussians, and GS renders.
@@ -167,7 +168,7 @@ class PrometheusPipeline:
                 uncond_emb, num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, guidance_type=guidance_type,
                 cfg_rescale=cfg_rescale, latent_hw=hw,
-                cfg_interval_frac=cfg_interval_frac,
+                cfg_interval_frac=cfg_interval_frac, sampler=sampler,
             )
         else:
             latents = self.mvldm.sample(
@@ -175,7 +176,7 @@ class PrometheusPipeline:
                 num_inference_steps=num_inference_steps,
                 guidance_scale=guidance_scale, guidance_type=guidance_type,
                 cfg_rescale=cfg_rescale, latent_hw=hw,
-                cfg_interval_frac=cfg_interval_frac,
+                cfg_interval_frac=cfg_interval_frac, sampler=sampler,
             )
         if view_shard_mesh is not None:
             (images_pred, depths_pred, gaussians, images_gs, depths_gs,

@@ -180,7 +180,7 @@ class MVLDMSystem:
     @partial(jax.jit, static_argnames=("self", "num_inference_steps",
                                        "guidance_type", "latent_hw",
                                        "guidance_scale", "cfg_rescale",
-                                       "cfg_interval_frac"))
+                                       "cfg_interval_frac", "sampler"))
     def sample(
         self,
         params,
@@ -196,6 +196,7 @@ class MVLDMSystem:
         view_mask: jax.Array | None = None,
         ref_latents: jax.Array | None = None,
         cfg_interval_frac: float | None = None,
+        sampler: str = "euler",
     ):
         """Full denoising loop. Returns x0 latents (B, N, 2*latent_ch, h, w).
 
@@ -206,10 +207,13 @@ class MVLDMSystem:
         plain suffix compile as two scans; at frac f the sampler costs
         ~(1+f)/2 of full CFG. ``None`` (default) = guidance at every step,
         matching the reference exactly (``mv_ldm_system.py:920-1000``).
+        ``sampler='dpmpp_2m'`` is the other fast knob (see ``_sample_core``).
         """
         B, N = cameras.shape[:2]
         h = w = latent_hw
-        sigmas = self.schedule.inference_sigmas(num_inference_steps)
+        sigmas = self.schedule.inference_sigmas(
+            num_inference_steps,
+            ladder="karras" if sampler == "dpmpp_2m" else "default")
         if self.adjust_sigma_on_n:
             sigmas = sigmas / jnp.sqrt(self.num_pred_views / N)
         x = sigmas[0] * jax.random.normal(
@@ -220,18 +224,24 @@ class MVLDMSystem:
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, guidance_type=guidance_type,
             cfg_rescale=cfg_rescale, view_mask=view_mask,
-            ref_latents=ref_latents, cfg_interval_frac=cfg_interval_frac)
+            ref_latents=ref_latents, cfg_interval_frac=cfg_interval_frac,
+            sampler=sampler)
 
     def _sample_core(self, model, params, x, sigmas, cameras,
                      text_embeddings, uncond_text_embeddings, *,
                      num_inference_steps, guidance_scale, guidance_type,
                      cfg_rescale, view_mask, ref_latents, cfg_interval_frac,
-                     view_axis: str | None = None):
+                     view_axis: str | None = None, sampler: str = "euler"):
         """The denoising scan, shared by ``sample`` (one program) and
         ``sample_view_sharded`` (shard_map body, where ``cameras``/``x`` hold
         only this device's views). Everything here is per-view local except
         the 3D-attention K/V gathers inside ``model`` and the CFG-rescale
-        statistics (psum when ``view_axis`` is set)."""
+        statistics (psum when ``view_axis`` is set).
+
+        ``sampler``: 'euler' (reference-exact,
+        ``/root/reference/prometheus/systems/mv_ldm_system.py:920-1000``) or
+        'dpmpp_2m' (DPM-Solver++(2M) multistep — same ODE solution at ~1/3
+        the steps; a TPU-side speedup the reference does not ship)."""
         B, N = cameras.shape[:2]
         h, w = x.shape[-2:]
         pose_emb, uncond_pose_emb = self._pose_embeddings(
@@ -242,7 +252,8 @@ class MVLDMSystem:
             guidance_type, N)
 
         def make_body(gtype, kv):
-            def body(x, i):
+            def body(carry, i):
+                x, x0_prev, sigma_prev, has_prev = carry
                 sigma, sigma_next = sigmas[i], sigmas[i + 1]
                 out = self._guided_output(
                     params, x, sigma, text_embeddings, uncond_text_embeddings,
@@ -253,23 +264,32 @@ class MVLDMSystem:
                 if ref_latents is not None and view_mask is not None:
                     m = view_mask[:, :, :1]
                     x0 = jnp.where(m > 0.5, ref_latents, x0)
-                x = self.schedule.euler_step(x, x0, sigma, sigma_next)
-                return x, x0
+                if sampler == "dpmpp_2m":
+                    x = self.schedule.dpmpp_2m_step(
+                        x, x0, x0_prev, sigma_prev, sigma, sigma_next,
+                        has_prev)
+                else:
+                    x = self.schedule.euler_step(x, x0, sigma, sigma_next)
+                return (x, x0, sigma, jnp.ones_like(has_prev)), x0
             return body
 
+        carry = (x, jnp.zeros_like(x), sigmas[0], jnp.zeros((), x.dtype))
         body = make_body(guidance_type, text_kv)
         n_cfg = num_inference_steps
         if cfg_interval_frac is not None and guidance_type != "none":
             n_cfg = min(num_inference_steps,
                         max(1, round(cfg_interval_frac * num_inference_steps)))
         if n_cfg == num_inference_steps:
-            x, x0s = jax.lax.scan(body, x, jnp.arange(num_inference_steps))
+            carry, x0s = jax.lax.scan(body, carry,
+                                      jnp.arange(num_inference_steps))
             return x0s[-1]
         kv_none = self._text_kv_for_guidance(
             params, text_embeddings, uncond_text_embeddings, "none", N)
-        x, _ = jax.lax.scan(body, x, jnp.arange(n_cfg))
-        x, x0s = jax.lax.scan(make_body("none", kv_none), x,
-                              jnp.arange(n_cfg, num_inference_steps))
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(n_cfg))
+        # the multistep carry (x0_prev/sigma_prev) flows into the plain
+        # conditional-only suffix scan unchanged
+        carry, x0s = jax.lax.scan(make_body("none", kv_none), carry,
+                                  jnp.arange(n_cfg, num_inference_steps))
         return x0s[-1]
 
     def sample_view_sharded(
@@ -289,6 +309,7 @@ class MVLDMSystem:
         ref_latents: jax.Array | None = None,
         cfg_interval_frac: float | None = None,
         axis: str = "data",
+        sampler: str = "euler",
     ):
         """Latency-parallel sampling: the N views are SHARDED over ``mesh``
         axis ``axis`` and the full denoise scan runs as one shard_map
@@ -317,7 +338,9 @@ class MVLDMSystem:
                 f"num views ({N}) must be divisible by mesh axis "
                 f"'{axis}' size ({V})")
         h = w = latent_hw
-        sigmas = self.schedule.inference_sigmas(num_inference_steps)
+        sigmas = self.schedule.inference_sigmas(
+            num_inference_steps,
+            ladder="karras" if sampler == "dpmpp_2m" else "default")
         if self.adjust_sigma_on_n:
             # sigma adjustment uses the GLOBAL view count
             sigmas = sigmas / jnp.sqrt(self.num_pred_views / N)
@@ -337,7 +360,8 @@ class MVLDMSystem:
                 cfg_rescale=cfg_rescale,
                 view_mask=vmask if has_mask else None,
                 ref_latents=rlat if has_ref else None,
-                cfg_interval_frac=cfg_interval_frac, view_axis=axis)
+                cfg_interval_frac=cfg_interval_frac, view_axis=axis,
+                sampler=sampler)
 
         vs = P(None, axis)
         vmask = view_mask if has_mask \
