@@ -383,7 +383,7 @@ def main():
     # optional DPM-Solver++(2M) fast-sampler datapoint (BENCH_DPMPP=steps,
     # e.g. 30): same ODE at ~1/3 the model evals; NOT the primary metric —
     # the primary e2e stays the reference's 100-step Euler
-    dpm_steps = os.environ.get("BENCH_DPMPP", "")
+    dpm_steps = os.environ.get("BENCH_DPMPP", "30")  # "" disables
     if dpm_steps:
         ns = int(dpm_steps)
         _PARTIAL["stage"] = f"dpmpp_{ns}"
