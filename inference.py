@@ -154,7 +154,8 @@ def export_result(result, pipe, prompt: str, out_dir: str, args) -> dict:
     if not args.no_video:
         frames = pipe.render_orbit_video(
             result["gaussians"], result["dense_cameras"],
-            num_frames=args.num_video_frames, size=args.render_size)
+            num_frames=args.num_video_frames, size=args.render_size,
+            mesh=getattr(args, "_vs_mesh", None))
         frames_u8 = postprocess_image(frames)
         paths["video"] = save_video(
             frames_u8, os.path.join(out_dir, "orbit.mp4"), fps=args.fps)
@@ -230,6 +231,7 @@ def main():
         if args.num_views % vs_mesh.shape["data"] != 0:
             raise SystemExit(f"--shard_views needs num_views divisible by "
                              f"the device count ({vs_mesh.shape['data']})")
+    args._vs_mesh = vs_mesh  # export_result shards the orbit video over it
 
     for i, prompt in enumerate(prompts):
         key = jax.random.PRNGKey(args.seed + i)

@@ -426,17 +426,41 @@ class PrometheusPipeline:
 
     def render_orbit_video(self, gaussians, dense_cameras: jax.Array,
                            num_frames: int = 120, size: int = 512,
-                           chunk: int = 8, tile_capacity: int = 512):
+                           chunk: int = 8, tile_capacity: int = 512,
+                           mesh=None):
         """Render a slerp-resampled trajectory video -> (T, 3, size, size) [-1,1].
 
         Default ``tile_capacity=512``: the 120-frame export pays the
         rasterizer per frame, and capacity 512 is ~1.8x faster at 45.6 dB
         vs an exact render even at worst-case density (display path; pass
-        1024+ for evaluation renders)."""
+        1024+ for evaluation renders).
+
+        ``mesh``: optional — shard the T frames over the mesh's ``data``
+        axis (gaussians replicated; rendering is per-frame parallel), so
+        the slowest export step scales with chips."""
         t = jnp.linspace(0, 1, num_frames)[None]
         cams = sample_from_dense_cameras(dense_cameras[:1], t)  # (1, T, 18)
-        frames = []
         backend = self._backend()
+        if mesh is not None and num_frames % mesh.shape["data"] == 0:
+            try:
+                from jax import shard_map  # jax >= 0.8
+                _check = {"check_vma": False}
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
+                _check = {"check_rep": False}
+            from jax.sharding import PartitionSpec as P
+
+            def run(cams_local, g):
+                imgs, _, _ = render_gaussians(
+                    cams_local, g, h=size, w=size, backend=backend,
+                    tile_capacity=tile_capacity)
+                return imgs
+
+            fn = shard_map(run, mesh=mesh,
+                           in_specs=(P(None, "data"), P()),
+                           out_specs=P(None, "data"), **_check)
+            return np.asarray(fn(cams, gaussians)[0])
+        frames = []
         for i in range(0, num_frames, chunk):
             imgs, deps, _ = render_gaussians(
                 cams[:, i : i + chunk], gaussians, h=size, w=size,

@@ -119,6 +119,32 @@ def test_generate_view_sharded_end_to_end(key):
                                rtol=1e-3, atol=2e-3)
 
 
+def test_orbit_video_frame_sharding_matches(key):
+    """render_orbit_video(mesh=...) shards the T frames over the mesh
+    (gaussians replicated) and must reproduce the chunked host loop."""
+    from prometheus_tpu.pipeline import PrometheusPipeline
+
+    B, P_ = 1, 64
+    ks = jax.random.split(key, 5)
+    gaussians = (
+        jax.random.normal(ks[0], (B, P_, 3)) * 0.3,
+        jax.random.uniform(ks[1], (B, P_, 1, 3)),
+        jax.random.uniform(ks[2], (B, P_, 1), minval=0.2, maxval=0.9),
+        jax.random.uniform(ks[3], (B, P_, 3), minval=0.01, maxval=0.1),
+        jax.random.normal(ks[4], (B, P_, 4)),
+    )
+    dense = get_random_cameras(key, 6, size=32)[None]
+    pipe = PrometheusPipeline.__new__(PrometheusPipeline)
+    pipe.render_backend = "xla"
+    ref = PrometheusPipeline.render_orbit_video(
+        pipe, gaussians, dense, num_frames=8, size=32, chunk=4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    out = PrometheusPipeline.render_orbit_video(
+        pipe, gaussians, dense, num_frames=8, size=32, mesh=mesh)
+    assert out.shape == ref.shape == (8, 3, 32, 32)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_view_sharded_indivisible_raises(key):
     system, params, cams, txt = _small_system(key, N=3, hw=8)
     mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
