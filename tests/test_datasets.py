@@ -199,6 +199,58 @@ def test_t2i_dataset(t2i_root):
     assert item["text_sv"][0].startswith("A thing")
 
 
+def test_t2i_reference_csv_shards(tmp_path, rng):
+    """Text2ImageDataset consumes the reference's sharded CSV metadata
+    ([Image Name, Image Path, Caption] rows — tools/sa1b/build_metadata.py)
+    directly, no conversion needed."""
+    import csv
+
+    root = tmp_path / "sam"
+    os.makedirs(root / "metadata")
+    for i in range(4):
+        save_jpg(root / f"img_{i}.jpg", rng)
+    for shard in range(2):
+        with open(root / "metadata" /
+                  f"filenames_and_captions_full_{shard}.csv", "w",
+                  newline="") as fp:
+            w = csv.writer(fp)
+            w.writerow(["Image Name", "Image Path", "Caption"])
+            for i in range(2 * shard, 2 * shard + 2):
+                w.writerow([f"img_{i}.jpg", f"img_{i}.jpg",
+                            f"a csv caption {i}"])
+    ds = Text2ImageDataset(str(root), images_per_iter=2, img_size=32)
+    assert ds.inner_len() == 4
+    item = ds[0]
+    assert item["images_sv"].shape == (2, 3, 32, 32)
+    assert item["text_sv"][0].startswith("A csv caption")
+
+
+def test_t2i_captions_ingest(tmp_path, rng):
+    """tools/build_metadata.py t2i-captions: SAM-1B/JourneyDB caption
+    sidecars -> annotations.json consumed by Text2ImageDataset."""
+    import subprocess
+    import sys
+
+    root = tmp_path / "jdb"
+    os.makedirs(root / "captions")
+    for i in range(3):
+        save_jpg(root / f"pic_{i}.jpg", rng)
+        if i < 2:  # one image without a caption -> skipped
+            with open(root / "captions" / f"pic_{i}.txt", "w") as fp:
+                fp.write(f"the photo shows a sidecar thing {i}\n")
+    out = str(root / "annotations.json")
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "build_metadata.py")
+    proc = subprocess.run(
+        [sys.executable, tool, "t2i-captions", "--root", str(root),
+         "--out", out], capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    ds = Text2ImageDataset(str(root), images_per_iter=2, img_size=32)
+    assert ds.inner_len() == 2
+    item = ds[0]
+    assert item["text_sv"][0].startswith("A sidecar thing")
+
+
 def test_re10k_torch_chunks(tmp_path, rng):
     import io
 

@@ -503,6 +503,45 @@ def blender_transforms(root: str, out: str, prompt_suffix: str = ""):
     print(f"[metadata] blender: {len(ann)} scenes -> {out}")
 
 
+def t2i_captions(root: str, out: str, filelist: str | None = None):
+    """SAM-1B / JourneyDB caption-sidecar layout -> T2I annotations.json.
+
+    Reference analog: ``tools/sa1b/build_metadata.py`` /
+    ``tools/journeydb/build_metadata.py`` — images listed in
+    ``SAM_1B_filenames.txt`` (or discovered by glob) with captions at
+    ``captions/<image stem>.txt``; the reference emits sharded CSVs, which
+    ``Text2ImageDataset`` also consumes directly, so this converter is for
+    building the compact json from the raw layout.
+    """
+    import glob
+
+    names = None
+    flist = filelist or os.path.join(root, "SAM_1B_filenames.txt")
+    if os.path.isfile(flist):
+        with open(flist, encoding="utf-8") as fp:
+            names = [ln.strip() for ln in fp if ln.strip()]
+    else:
+        names = sorted(
+            os.path.relpath(p, root)
+            for p in glob.glob(os.path.join(root, "**", "*.jpg"),
+                               recursive=True))
+    items, skipped = [], 0
+    for rel in names:
+        stem = os.path.splitext(os.path.basename(rel))[0]
+        cap_path = os.path.join(root, "captions", stem + ".txt")
+        try:
+            with open(cap_path, encoding="utf-8") as fp:
+                caption = fp.read().strip()
+        except OSError:
+            skipped += 1
+            continue
+        items.append({"file": rel, "caption": caption})
+    with open(out, "w", encoding="utf-8") as fp:
+        json.dump(items, fp)
+    print(f"[metadata] t2i-captions: {len(items)} images -> {out} "
+          f"({skipped} without captions skipped)")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -540,6 +579,12 @@ def main():
     s7.add_argument("--root", required=True)
     s7.add_argument("--out", required=True)
     s7.add_argument("--prompt_suffix", default="")
+    s9 = sub.add_parser("t2i-captions",
+                        help="SAM-1B/JourneyDB caption sidecars -> T2I "
+                             "annotations.json")
+    s9.add_argument("--root", required=True)
+    s9.add_argument("--out", required=True)
+    s9.add_argument("--filelist", default=None)
     args = ap.parse_args()
     if args.cmd == "scan-scenes":
         scan_scenes(args.root, args.out)
@@ -559,6 +604,8 @@ def main():
                          categories=args.categories)
     elif args.cmd == "blender":
         blender_transforms(args.root, args.out, args.prompt_suffix)
+    elif args.cmd == "t2i-captions":
+        t2i_captions(args.root, args.out, args.filelist)
 
 
 if __name__ == "__main__":
