@@ -509,6 +509,10 @@ class MVLDMSystem:
         lambda_mse: float = 1.0,
         lambda_mse_depth: float = 1.0,
         return_aux: bool = False,
+        view_axis: str | None = None,
+        view_shards: int = 1,
+        noise: jax.Array | None = None,
+        sample_posterior: bool = True,
     ):
         """Latent v-pred/EDM denoising loss on a multi-view batch.
 
@@ -518,30 +522,55 @@ class MVLDMSystem:
         Returns ``(loss, metrics)``; with ``return_aux`` also the x0
         prediction (for the end-to-end rendering loss, reference
         ``mv_ldm_system.py:1039``).
+
+        ``view_axis``: view-SHARDED (sequence-parallel) training — the
+        caller runs this inside shard_map with the batch's N views split
+        over the mesh axis and ``self.model`` cloned with the same
+        ``view_axis`` (K/V gathers at the 3D-attention sites; their
+        autodiff transpose is the reduce-scatter). Scene-level randomness
+        (sigma, ref-view permutation, pose/text dropout) comes from the
+        REPLICATED key so every shard agrees; per-view draws are folded
+        with the shard index; loss reductions psum over the axis. See
+        ``multi_view_loss_view_sharded``.
+        ``noise``/``sample_posterior``: pre-drawn denoising noise and
+        mode-instead-of-sample VAE encoding — deterministic seams for the
+        sharded-vs-single-program gradient equality test.
         """
         images, cameras = batch["images_mv"], batch["cameras_mv"]
         depths = batch["depths_mv"]
         B, N = images.shape[:2]
+        if view_axis is not None:
+            vidx = jax.lax.axis_index(view_axis)
+            n_global = N * view_shards  # static (shapes depend on it)
+        else:
+            vidx = None
+            n_global = N
         k_enc, k_sig, k_noise, k_perm, k_pose, k_text = jax.random.split(key, 6)
+        if vidx is not None:  # per-view draws must differ across shards
+            k_enc = jax.random.fold_in(k_enc, vidx)
+            k_noise = jax.random.fold_in(k_noise, vidx)
 
         depths_in = jnp.repeat(depths * 2.0 - 1.0, 3, axis=2)
         # ONE batched 2N-image encode (vs two N-image calls): better MXU
         # occupancy, and RGB/depth posterior noise draws are independent
         # (two calls shared k_enc -> correlated samples)
         lat_both = self.model.apply(
-            params, jnp.concatenate([images, depths_in], axis=1), k_enc,
+            params, jnp.concatenate([images, depths_in], axis=1),
+            k_enc if sample_posterior else None,
             method=MVLDMModel.encode_image)
         x0 = jax.lax.stop_gradient(
             jnp.concatenate([lat_both[:, :N], lat_both[:, N:]],
                             axis=2))  # (B,N,8,h,w)
         h, w = x0.shape[-2:]
 
-        # view-cond reference mask (same ref set for the whole batch, as in
-        # the reference implementation)
-        is_ref = jnp.zeros((N,), bool)
+        # view-cond reference mask over the GLOBAL view set (same ref set
+        # for the whole batch, as in the reference implementation)
+        is_ref_g = jnp.zeros((n_global,), bool)
         if self.noise_type == "view_cond" and num_ref_views > 0:
-            perm = jax.random.permutation(k_perm, N)
-            is_ref = is_ref.at[perm[:num_ref_views]].set(True)
+            perm = jax.random.permutation(k_perm, n_global)
+            is_ref_g = is_ref_g.at[perm[:num_ref_views]].set(True)
+        is_ref = is_ref_g if vidx is None else \
+            jax.lax.dynamic_slice_in_dim(is_ref_g, vidx * N, N, 0)
         ref_mask = is_ref[None, :, None, None, None]            # (1,N,1,1,1)
 
         # noise levels: one sigma per scene, shared across its views
@@ -550,11 +579,12 @@ class MVLDMSystem:
             # reference (when enabled) divides single-view train sigmas by
             # sqrt(num_pred_views) (mv_ldm_system.py:252-253); the N-view
             # generalization keeps train/inference noise scales consistent
-            sigmas = sigmas / jnp.sqrt(self.num_pred_views / N)
+            sigmas = sigmas / jnp.sqrt(self.num_pred_views / n_global)
         sig = sigmas[:, None, None, None, None]
         t_cond = jnp.broadcast_to(self._t_cond(sigmas)[:, None], (B, N))
 
-        noise = jax.random.normal(k_noise, x0.shape)
+        if noise is None:
+            noise = jax.random.normal(k_noise, x0.shape)
         noisy = x0 + noise * sig
         net_in = self.schedule.c_in(sig) * noisy
         net_in = jnp.where(ref_mask, x0, net_in)  # clean reference views
@@ -585,11 +615,15 @@ class MVLDMSystem:
 
         wgt = self.schedule.loss_weight(sig)
         tgt = (~is_ref).astype(x0.dtype)[None, :, None, None, None]
-        denom = jnp.maximum(tgt.sum() * B / N, 1.0)
+        n_tgt = tgt.sum() if vidx is None else \
+            jax.lax.psum(tgt.sum(), view_axis)
+        denom = jnp.maximum(n_tgt * B / n_global, 1.0)
 
         def masked_mse(a, b):
-            return jnp.sum(wgt * (a - b) ** 2 * tgt) / (
-                denom * a.shape[2] * h * w)
+            s = jnp.sum(wgt * (a - b) ** 2 * tgt)
+            if vidx is not None:
+                s = jax.lax.psum(s, view_axis)
+            return s / (denom * a.shape[2] * h * w)
 
         loss_mse = masked_mse(x0_pred[:, :, 0:4], x0[:, :, 0:4])
         loss_mse_depth = masked_mse(x0_pred[:, :, 4:8], x0[:, :, 4:8])
@@ -599,6 +633,56 @@ class MVLDMSystem:
         if return_aux:
             return loss, metrics, {"x0_pred": x0_pred}
         return loss, metrics
+
+    def multi_view_loss_view_sharded(self, mesh, params, key: jax.Array,
+                                     batch: dict, *, axis: str = "data",
+                                     noise: jax.Array | None = None,
+                                     sample_posterior: bool = True,
+                                     **loss_kw):
+        """Sequence-parallel training loss: the batch's N views are SHARDED
+        over ``mesh`` axis ``axis`` and ``multi_view_loss`` runs as one
+        shard_map program (3D-attention K/V gathered over ICI, reductions
+        psum'd). Differentiable — ``jax.grad`` through this equals the
+        single-program gradients (tested), with the gathers' transposes
+        lowering to reduce-scatters. Cuts per-device activation memory by
+        the shard count: the enabler for >8-view or >256^2 stage-2
+        training that a single device cannot hold. The reference has no
+        equivalent (its DDP replicates the full view set per GPU,
+        ``/root/reference/train.py:87-92``)."""
+        try:
+            from jax import shard_map  # jax >= 0.8
+            _check = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+            _check = {"check_rep": False}
+        from jax.sharding import PartitionSpec as P
+
+        N = batch["images_mv"].shape[1]
+        V = mesh.shape[axis]
+        if N % V != 0:
+            raise ValueError(f"num views ({N}) must be divisible by mesh "
+                             f"axis '{axis}' size ({V})")
+        sys_sp = dataclasses.replace(
+            self, model=self.model.clone(view_axis=axis))
+        has_noise = noise is not None
+        vs = P(None, axis)
+
+        def run(params, key, images, cameras, depths, temb, utemb, nz):
+            b = {"images_mv": images, "cameras_mv": cameras,
+                 "depths_mv": depths, "text_emb": temb,
+                 "uncond_text_emb": utemb}
+            return sys_sp.multi_view_loss(
+                params, key, b, view_axis=axis, view_shards=V,
+                noise=nz if has_noise else None,
+                sample_posterior=sample_posterior, **loss_kw)
+
+        nz = noise if has_noise else jnp.zeros((1, N, 1, 1, 1), jnp.float32)
+        fn = shard_map(run, mesh=mesh,
+                       in_specs=(P(), P(), vs, vs, vs, P(), P(), vs),
+                       out_specs=(P(), P()), **_check)
+        return fn(params, key, batch["images_mv"], batch["cameras_mv"],
+                  batch["depths_mv"], batch["text_emb"],
+                  batch["uncond_text_emb"], nz)
 
     def rendering_loss(
         self,

@@ -48,6 +48,10 @@ _SLOW_TESTS = {
     "test_gsdecoder_gradients", "test_unet_cross_view_mixing",
     "test_pallas_vjp_matches_xla_grads", "test_gradients_flow_and_are_finite",
     "test_cross_view_dit_views_interact",
+    "test_view_sharded_train_loss_and_grads_match",
+    "test_generate_view_sharded_end_to_end",
+    "test_dpmpp_beats_euler_at_coarse_steps",
+    "test_dpmpp_converges_on_vpred_schedule",
 }
 
 

@@ -119,6 +119,50 @@ def test_generate_view_sharded_end_to_end(key):
                                rtol=1e-3, atol=2e-3)
 
 
+def test_view_sharded_train_loss_and_grads_match(key):
+    """SP TRAINING: multi_view_loss_view_sharded must reproduce the
+    single-program loss AND its parameter gradients (the K/V all-gathers'
+    autodiff transposes are reduce-scatters) — including the view_cond
+    reference-mask slicing across shards. Deterministic seams: pre-drawn
+    noise, posterior mode, dropout p=0."""
+    N, hw = 4, 8
+    system, params, cams, txt = _small_system(key, N=N, hw=hw)
+    k1, k2, k3 = jax.random.split(key, 3)
+    batch = {
+        "images_mv": jax.random.uniform(k1, (1, N, 3, 4 * hw, 4 * hw),
+                                        minval=-1, maxval=1),
+        "cameras_mv": cams,
+        "depths_mv": jax.random.uniform(k2, (1, N, 1, 4 * hw, 4 * hw)),
+        "text_emb": txt,
+        "uncond_text_emb": jnp.zeros_like(txt),
+    }
+    lat_hw = 2 * hw  # 32^2 images / vae stride 2
+    noise = jax.random.normal(k3, (1, N, 8, lat_hw, lat_hw))
+    kw = dict(num_ref_views=1, drop_pose_p=0.0, drop_text_p=0.0,
+              noise=noise, sample_posterior=False)
+
+    def loss_single(p):
+        return system.multi_view_loss(p, key, batch, **kw)[0]
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+
+    def loss_sharded(p):
+        return system.multi_view_loss_view_sharded(
+            mesh, p, key, batch, axis="data", **kw)[0]
+
+    l1, g1 = jax.value_and_grad(loss_single)(params)
+    l2, g2 = jax.value_and_grad(loss_sharded)(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+    for path, a in flat1:
+        b = flat2[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_orbit_video_frame_sharding_matches(key):
     """render_orbit_video(mesh=...) shards the T frames over the mesh
     (gaussians replicated) and must reproduce the chunked host loop."""
