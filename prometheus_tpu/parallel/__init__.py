@@ -9,6 +9,7 @@ from .mesh import (
     replicated,
     shard_batch,
     shard_batch_per_host,
+    shard_batch_views,
     shard_params,
 )
 from .train_step import (

@@ -79,6 +79,25 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_batch_views(mesh: Mesh, batch: dict, axis: str = "data"):
+    """Sequence-parallel placement: the VIEW dim (axis 1) of multi-view
+    leaves is sharded over the mesh; everything else is replicated. Pairs
+    with ``MVLDMSystem.multi_view_loss_view_sharded`` (train.py
+    ``--sp_views``)."""
+    view_s = NamedSharding(mesh, P(None, axis))
+    rep_s = NamedSharding(mesh, P())
+
+    def put(k, x):
+        if not isinstance(x, (jax.Array, np.ndarray)):
+            return x
+        if k.endswith("_mv") and x.ndim >= 2 \
+                and x.shape[1] % mesh.shape[axis] == 0:
+            return jax.device_put(x, view_s)
+        return jax.device_put(x, rep_s)
+
+    return {k: put(k, v) for k, v in batch.items()}
+
+
 def fsdp_param_spec(param: jax.Array, mesh: Mesh, axis: str = "data",
                     min_size: int = 2**16) -> NamedSharding:
     """ZeRO-ish spec: shard the largest divisible dim of big params, else

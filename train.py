@@ -50,6 +50,12 @@ def parse_args():
                    help="mvldm stage: mixed multi-view + single-view (T2I) "
                         "batches (reference training_step, "
                         "mv_ldm_system.py:112-143)")
+    p.add_argument("--sp_views", action="store_true",
+                   help="sequence-parallel training: shard the VIEWS over "
+                        "the mesh (3D-attention K/V gathered over ICI; "
+                        "activation memory / device count) — for view or "
+                        "image sizes one device can't hold. Batch is NOT "
+                        "multiplied by the device count in this mode")
     p.add_argument("--param_sharding", type=str, default="replicated",
                    choices=["replicated", "fsdp"])
     p.add_argument("--depth_teacher", type=str, default="da2",
@@ -197,6 +203,17 @@ def main():
     B = int(tr.batch_size) * n_dev * accum  # global batch
     assert B % (n_dev * accum) == 0
     N = int(tr.num_input_views) if not args.small else 2
+    if args.sp_views:
+        # sequence-parallel: the mesh axis carries VIEWS, not batch — the
+        # per-step batch is NOT multiplied by the device count, and N must
+        # split over the mesh (memory-scaling mode for big views/images)
+        if args.stage != "mvldm" or args.joint_sv or args.render_loss:
+            raise SystemExit("--sp_views supports the plain mvldm stage "
+                             "(no --joint_sv / --render_loss yet)")
+        B = int(tr.batch_size) * accum
+        if N % n_dev != 0:
+            raise SystemExit(f"--sp_views needs num views ({N}) divisible "
+                             f"by the device count ({n_dev})")
 
     sched = make_schedule(cfg.experiment.get("scheduler_type", "vprediction"),
                           high_noise=cfg.experiment.get("high_noise_level",
@@ -259,6 +276,13 @@ def main():
         def loss_fn(p, ms, batch, k):
             kw = dict(drop_pose_p=float(tr.get("drop_pose_p", 0.1)),
                       drop_text_p=float(tr.get("text_to_3d_drop_text_p", 0.1)))
+            if args.sp_views:
+                # sequence-parallel step: views sharded over the mesh,
+                # K/V gathered at the 3D-attention sites (grads exact —
+                # tests/test_view_sharded_sampler.py)
+                loss, metrics = system.multi_view_loss_view_sharded(
+                    mesh, p, k, batch, axis="data", **kw)
+                return loss, (metrics, ms)
             loss, metrics, aux = system.multi_view_loss(
                 p, k, batch, return_aux=True, **kw)
             if "images_sv" in batch:  # joint MV + T2I step
@@ -493,18 +517,22 @@ def main():
     for step in range(int(state.step), max_steps):
         key, k_batch, k_step = jax.random.split(key, 3)
         if loader_iter is not None:
-            from prometheus_tpu.parallel import shard_batch_per_host
+            from prometheus_tpu.parallel import (shard_batch_per_host,
+                                                 shard_batch_views)
             host_batch = next(loader_iter)
             if args.debug:
                 from prometheus_tpu.utils.nan_guard import assert_finite
                 assert_finite(host_batch, f"batch@step{step}")
-            batch = shard_batch_per_host(mesh, host_batch)
+            batch = (shard_batch_views(mesh, host_batch) if args.sp_views
+                     else shard_batch_per_host(mesh, host_batch))
         else:
+            from prometheus_tpu.parallel import shard_batch_views
             batch = synthetic_mv_batch(
                 k_batch, B, N, img, ctx,
                 sv=int(tr.get("images_per_iter", 2)) if args.joint_sv
                 and args.stage == "mvldm" else 0)
-            batch = shard_batch(mesh, batch)
+            batch = (shard_batch_views(mesh, batch) if args.sp_views
+                     else shard_batch(mesh, batch))
         state, metrics = step_fn(state, batch, k_step)
         if step % args.log_every == 0 and is_main_process():
             jax.block_until_ready(metrics["loss"])
