@@ -89,7 +89,7 @@ def load_benchmark(bench_dir: str, traj_idx: int = 0):
 
 
 def main():
-    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    from prometheus_tpu.utils.platform import device_sync, honor_jax_platforms_env
     honor_jax_platforms_env()
     args = parse_args()
     import jax
@@ -140,7 +140,7 @@ def main():
                 dense = jnp.asarray(cams)
                 kwargs["cameras"] = pipe.sparse_views(dense, args.num_views)
             result = pipe.generate(prompt, key, **kwargs)
-            jax.block_until_ready(result["images_gs_render"])
+            device_sync(result["images_gs_render"])
 
             os.makedirs(out_dir, exist_ok=True)
             frames = postprocess_image(

@@ -166,7 +166,7 @@ def export_result(result, pipe, prompt: str, out_dir: str, args) -> dict:
 
 
 def main():
-    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    from prometheus_tpu.utils.platform import device_sync, honor_jax_platforms_env
     honor_jax_platforms_env()
     args = parse_args()
     prompts = []
@@ -252,7 +252,7 @@ def main():
             cfg_interval_frac=args.cfg_interval_frac,
             sampler=args.sampler,
         )
-        jax.block_until_ready(result["images_gs_render"])
+        device_sync(result["images_gs_render"])
         dt = time.time() - t0
         slug = "".join(c if c.isalnum() else "_" for c in prompt[:48]).strip("_")
         out_dir = os.path.join(args.export_dir, f"{i:03d}_{slug}")

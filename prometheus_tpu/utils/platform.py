@@ -21,3 +21,20 @@ def honor_jax_platforms_env() -> None:
         jax.config.update("jax_platforms", want)
     except RuntimeError:
         pass  # backend already initialized
+
+
+def device_sync(x) -> None:
+    """Force completion of the computation producing ``x`` with a REAL
+    device->host fetch.
+
+    ``jax.block_until_ready`` does NOT block over the tunneled axon backend
+    (CLAUDE.md environment note) — any wall-clock timing that ends with it
+    measures dispatch, not execution. Every CLI timing boundary must use
+    this instead: fetching one element cannot complete until the producing
+    program has."""
+    import jax
+
+    leaf = next((l for l in jax.tree.leaves(x)
+                 if isinstance(l, jax.Array)), None)
+    if leaf is not None:
+        jax.device_get(leaf.ravel()[0:1])

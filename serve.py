@@ -188,7 +188,7 @@ def main():
 
     import jax
 
-    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    from prometheus_tpu.utils.platform import device_sync, honor_jax_platforms_env
     honor_jax_platforms_env()
     if args.compilation_cache:
         jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
@@ -209,7 +209,7 @@ def main():
                              num_views=4, num_inference_steps=2,
                              render_size=64, image_size=pipe.mvldm.model.image_size,
                              latent_hw=pipe.mvldm.model.latent_size)
-        jax.block_until_ready(out["images_gs_render"])
+        device_sync(out["images_gs_render"])
         assert out["images_gs_render"].shape[0] == n_dev
         print(f"[serve] selftest OK: {n_dev} prompts sharded over {n_dev} "
               f"devices in {time.time()-t0:.1f}s")
@@ -220,7 +220,7 @@ def main():
                              image_size=pipe.mvldm.model.image_size,
                              latent_hw=pipe.mvldm.model.latent_size,
                              shard_views=True)
-        jax.block_until_ready(out["images_gs_render"])
+        device_sync(out["images_gs_render"])
         assert out["images_gs_render"].shape[:2] == (1, 2 * n_dev)
         print(f"[serve] selftest OK: 1 prompt, {2 * n_dev} views sharded "
               f"over {n_dev} devices in {time.time()-t0:.1f}s")
@@ -262,7 +262,7 @@ def main():
                          render_size=args.render_size,
                          image_size=pipe.mvldm.model.image_size,
                          compiled_sample=compiled_sample)
-    jax.block_until_ready(out["images_gs_render"])
+    device_sync(out["images_gs_render"])
     warm = time.time() - t0
 
     done = 0
@@ -277,7 +277,7 @@ def main():
                              render_size=args.render_size,
                              image_size=pipe.mvldm.model.image_size,
                              compiled_sample=compiled_sample)
-        jax.block_until_ready(out["images_gs_render"])
+        device_sync(out["images_gs_render"])
         done += len(chunk)
         if args.export_dir:
             import numpy as np
