@@ -137,7 +137,7 @@ def build_flagship(small: bool = False):
 
     mv_params, traj_params, gs_vars = (to_bf16(mv_params),
                                        to_bf16(traj_params), to_bf16(gs_vars))
-    jax.block_until_ready(mv_params)
+    sync(mv_params)  # real fetch: block_until_ready is a no-op on the tunnel
     init_s = time.time() - t0
 
     mv_sys = MVLDMSystem(model=mv_model, schedule=make_schedule("vprediction"),

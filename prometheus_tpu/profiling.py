@@ -51,11 +51,16 @@ class StepTimer:
 
     @contextlib.contextmanager
     def measure(self, sync=None):
-        """Times the block; pass an array as ``sync`` to block on it."""
+        """Times the block; pass an array/pytree as ``sync`` to block on it.
+
+        Uses a real device->host fetch: ``jax.block_until_ready`` does not
+        block over the tunneled axon TPU backend, which would silently turn
+        this into a dispatch-time measurement."""
+        from prometheus_tpu.utils.platform import device_sync
         self.start()
         yield
         if sync is not None:
-            jax.block_until_ready(sync)
+            device_sync(sync)
         self.stop()
 
     def rate(self, items_per_step: float) -> float:
