@@ -71,6 +71,46 @@ def _start_deadline_watchdog():
     t.start()
 
 
+def _probe_tunnel():
+    """Fail fast on a degraded tunnel instead of burning the full deadline.
+
+    The axon backend's degraded phases make even a toy 1024^2 matmul take
+    300+ s (see the watchdog note above). Before committing to the flagship
+    init (~10 min healthy, unbounded degraded), run one toy jit with its own
+    short timer: if it can't finish in BENCH_PROBE_TIMEOUT (default 420 s,
+    0 disables), emit the partial artifact flagged ``tunnel_degraded`` and
+    exit — the driver gets the chip-free stages back in minutes, not hours.
+    """
+    import threading
+
+    limit = float(os.environ.get("BENCH_PROBE_TIMEOUT", "420"))
+    if limit <= 0:
+        return
+
+    def fire():
+        _log(f"bench: tunnel probe exceeded {limit:.0f}s — degraded "
+             "backend, emitting partial result")
+        print(json.dumps({
+            "metric": "text_to_3dgs_seconds_e2e",
+            "value": -1.0,
+            "unit": "s",
+            "vs_baseline": 0.0,
+            "extra": {"tunnel_degraded": True, **_PARTIAL},
+        }), flush=True)
+        os._exit(0)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+    t0 = time.time()
+    y = jax.jit(lambda a: a @ a)(jnp.ones((1024, 1024)))
+    jax.device_get(y.ravel()[0:1])
+    t.cancel()
+    probe_s = time.time() - t0
+    _PARTIAL["probe_s"] = round(probe_s, 1)
+    _log(f"bench: tunnel probe OK in {probe_s:.1f}s")
+
+
 def sync(tree):
     """Force completion by fetching one element to the host.
 
@@ -291,6 +331,8 @@ def main():
                  f"native, {loader.get('images_per_s_python')} python")
         except Exception as e:  # never let the host stage sink the bench
             _log(f"bench: loader bench failed ({e})")
+    _PARTIAL["stage"] = "tunnel_probe"
+    _probe_tunnel()
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     # 100 denoise steps = the reference inference config
     # (/root/reference/inference.py:44-59); override with BENCH_STEPS
