@@ -269,6 +269,7 @@ def main():
     t0 = time.time()
     for i in range(0, len(prompts), bs):
         chunk = prompts[i : i + bs]
+        n_real = len(chunk)              # padding below is NOT a scene
         if len(chunk) < bs:
             chunk = chunk + [""] * (bs - len(chunk))
         out = generate_batch(pipe, chunk, jax.random.PRNGKey(i), mesh,
@@ -278,7 +279,7 @@ def main():
                              image_size=pipe.mvldm.model.image_size,
                              compiled_sample=compiled_sample)
         device_sync(out["images_gs_render"])
-        done += len(chunk)
+        done += n_real
         if args.export_dir:
             import numpy as np
 
@@ -286,7 +287,7 @@ def main():
 
             os.makedirs(args.export_dir, exist_ok=True)
             g = tuple(np.asarray(x) for x in out["gaussians"])
-            for b, p in enumerate(chunk):
+            for b in range(n_real):
                 gb = tuple(x[b : b + 1] for x in g)
                 export_gaussians(
                     os.path.join(args.export_dir, f"{i + b:04d}"), gb)
