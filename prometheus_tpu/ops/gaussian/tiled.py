@@ -92,6 +92,12 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
     unused slots get tile_id = grid_w * grid_h (sorted to the end).
     """
     n = proj.mean2d.shape[0]
+    # the packed decode rows below carry slot starts / gaussian indices in
+    # f32, exact only below 2^24 — enforce it statically rather than corrupt
+    # the decode silently on a >2.8M-gaussian scene
+    assert s_max < (1 << 24) and n < (1 << 24), (
+        f"instance budget {s_max} / N {n} exceed f32-exact integer range; "
+        "shrink the scene or widen the decode dtype")
     ex0, ey0, wx, wy = _clamped_windows(proj, tile_size, grid_w, grid_h,
                                         max_tiles)
     cover = jnp.where(proj.valid, wx * wy, 0).astype(jnp.int32)
