@@ -109,3 +109,62 @@ def test_production_psnr_vs_exact_trained_stats(key):
                              cx, cy, size, size, opacities=gs[2][0][..., 0])
     stats = tile_overflow_stats(proj, 16, size // 16, size // 16, (8, 8))
     assert int(stats["instances_over_budget"]) == 0
+
+
+def test_tile_instances_slot_semantics():
+    """Direct unit test of the exact compact expansion (tiled._tile_instances):
+    descending-opacity layout, exact covered-tile windows, straddling range
+    at the budget cut, sentinel fill beyond the total."""
+    from prometheus_tpu.ops.gaussian.projection import Projected
+    from prometheus_tpu.ops.gaussian.tiled import _tile_instances
+
+    ts, gw, gh = 16, 4, 4
+    # g0 (op .9): 2x2 window at tiles (0..1, 0..1); g1 (op .5): 2x2 at
+    # (2..3, 2..3)... actually mean (48,48) r=8 -> x0=2,x1=3; g2 (op .1):
+    # 1x1 at tile (2,2) via mean (40,40) r=2; g3: culled (valid=False).
+    mean2d = jnp.asarray([[16.0, 16.0], [48.0, 48.0], [40.0, 40.0],
+                          [8.0, 8.0]])
+    radius = jnp.asarray([8.0, 8.0, 2.0, 5.0])
+    proj = Projected(
+        mean2d=mean2d,
+        conic=jnp.tile(jnp.asarray([[0.1, 0.0, 0.1]]), (4, 1)),
+        depth=jnp.asarray([1.0, 2.0, 3.0, 4.0]),
+        radius=radius,
+        valid=jnp.asarray([True, True, True, False]),
+    )
+    op = jnp.asarray([0.9, 0.5, 0.1, 0.8])
+
+    def decode(s_max):
+        tile_id, depth, gauss = _tile_instances(
+            proj, ts, gw, gh, (4, 4), s_max, opacities=op)
+        return (np.asarray(tile_id), np.asarray(depth), np.asarray(gauss))
+
+    def tiles_of(window):
+        (x0, x1, y0, y1) = window
+        return {y * gw + x for y in range(y0, y1 + 1)
+                for x in range(x0, x1 + 1)}
+
+    win = {0: (0, 1, 0, 1), 1: (2, 3, 2, 3), 2: (2, 2, 2, 2)}
+
+    # Generous budget: every valid gaussian emits exactly its window.
+    tile_id, depth, gauss = decode(16)
+    sentinel = gw * gh
+    live = tile_id != sentinel
+    assert int(live.sum()) == 9          # 4 + 4 + 1; culled g3 emits nothing
+    for g, w in win.items():
+        assert set(tile_id[(gauss == g) & live]) == tiles_of(w)
+    # opacity-descending layout: g0's slots precede g1's precede g2's
+    assert list(gauss[live]) == [0] * 4 + [1] * 4 + [2]
+    # depth rides along for the sort key
+    assert np.allclose(depth[live][:4], 1.0) and np.allclose(depth[8], 3.0)
+    # slots beyond the total are all sentinel
+    assert (tile_id[9:] == sentinel).all()
+
+    # Budget cut mid-range: g1 keeps a PARTIAL window (first 2 of its 4
+    # tiles in row-major window order), lowest-opacity g2 is dropped whole.
+    tile_id, _, gauss = decode(6)
+    assert list(gauss) == [0, 0, 0, 0, 1, 1]
+    g1_tiles = list(tile_id[4:6])
+    full = sorted(tiles_of(win[1]))
+    assert g1_tiles == full[:2]
+    assert 2 not in set(gauss)
