@@ -162,6 +162,108 @@ def aot_sampler(pipe, path: str, *, batch_size: int, num_views: int,
     return wrap(compiled)
 
 
+def serve_http(pipe, port: int, *, export_dir: str, num_views: int,
+               num_steps: int, render_size: int, compiled_sample=None,
+               mesh=None, host: str = "127.0.0.1", started=None):
+    """Minimal stdlib HTTP endpoint over the warm process (no reference
+    analog — its inference is offline CLI only).
+
+    - ``GET  /healthz``  -> {"status": "ok"}
+    - ``POST /generate`` JSON {"prompt": str, "seed"?: int, "num_steps"?,
+      "num_views"?, "render_size"?} -> exports splat/ply under
+      ``export_dir/<id>`` and returns the paths + wall time.
+
+    Requests are handled serially — one scene occupies the chip; queueing is
+    the correct backpressure for single-chip serving. Changing num_steps /
+    num_views / render_size off the warmed defaults recompiles (seconds on a
+    cached shape, minutes cold): keep hot-path requests on the defaults.
+    """
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import jax
+
+    from prometheus_tpu.utils.platform import device_sync
+
+    lock = threading.Lock()
+    counter = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route to stdout, not stderr spam
+            print(f"[serve] {self.address_string()} {fmt % a}")
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompt = req["prompt"]
+            except Exception as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            steps = int(req.get("num_steps", num_steps))
+            views = int(req.get("num_views", num_views))
+            rsize = int(req.get("render_size", render_size))
+            # the AOT executable is shape-specific: only the warmed defaults
+            # can use it
+            aot = compiled_sample if (steps, views) == (num_steps, num_views) \
+                else None
+            # one scene per request: on a multi-chip mesh, shard the VIEWS
+            # over it (latency mode) — a batch of 1 can't shard over prompts
+            n_dev = mesh.shape["data"] if mesh is not None else 1
+            sv = n_dev > 1 and views % n_dev == 0
+            key = jax.random.PRNGKey(int(req.get("seed", 0)))
+            with lock:
+                rid = counter["n"]
+                counter["n"] += 1
+                t0 = time.time()
+                out = generate_batch(
+                    pipe, [prompt], key, mesh if sv else None,
+                    num_views=views,
+                    num_inference_steps=steps, render_size=rsize,
+                    image_size=pipe.mvldm.model.image_size,
+                    latent_hw=pipe.mvldm.model.latent_size,
+                    compiled_sample=aot, shard_views=sv)
+                device_sync(out["images_gs_render"])
+                dt = time.time() - t0
+                import numpy as np
+
+                from prometheus_tpu.utils import export_gaussians
+
+                out_dir = os.path.join(export_dir, f"{rid:05d}")
+                os.makedirs(out_dir, exist_ok=True)
+                g = tuple(np.asarray(x)[:1] for x in out["gaussians"])
+                base = os.path.join(out_dir, "scene")
+                export_gaussians(base, g)
+            self._json(200, {"id": rid, "prompt": prompt,
+                             "seconds": round(dt, 2),
+                             "paths": {"ply": base + ".ply",
+                                       "splat": base + ".splat"}})
+
+    srv = HTTPServer((host, port), Handler)
+    print(f"[serve] HTTP listening on {host}:{srv.server_address[1]} "
+          f"(POST /generate)")
+    if started is not None:
+        started(srv)          # hand the bound server to tests
+    srv.serve_forever()
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--prompt_file", default=None)
@@ -177,6 +279,14 @@ def main():
     ap.add_argument("--shard_views", action="store_true",
                     help="LATENCY mode: shard each scene's views over the "
                          "mesh instead of sharding the prompt batch")
+    ap.add_argument("--ckpt", default=None,
+                    help="orbax bundle dir / torch full.ckpt; random init "
+                         "if absent (same loader as inference.py)")
+    ap.add_argument("--bpe_vocab", default=None,
+                    help="CLIP BPE merges file (exact tokenization)")
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve an HTTP JSON API (POST /generate) instead "
+                         "of the batch loop; warm-up + AOT apply first")
     ap.add_argument("--aot_dir", default=None,
                     help="AOT-persist/reuse the compiled sampler here "
                          "(serialize_executable; shape-specific)")
@@ -232,12 +342,16 @@ def main():
     elif args.prompt_file:
         with open(args.prompt_file) as fp:
             prompts = [l.strip() for l in fp if l.strip()]
-    if not prompts:
-        raise SystemExit("provide --prompt or --prompt_file")
+    if not prompts and args.http is None:
+        raise SystemExit("provide --prompt or --prompt_file (or --http)")
 
-    pipe, _ = build_flagship(small=args.small)
+    if args.http is not None:
+        args.batch_size = 1          # HTTP serves one scene per request
+
+    from inference import build_pipeline
+    pipe = build_pipeline(args)      # --ckpt restore or random init
     key = jax.random.PRNGKey(0)
-    bs = min(args.batch_size, len(prompts))
+    bs = min(args.batch_size, len(prompts)) if prompts else args.batch_size
     compiled_sample = None
     if args.aot_dir and n_dev > 1:
         print("[serve] --aot_dir is single-device (per-chip serving); "
@@ -254,6 +368,27 @@ def main():
             num_inference_steps=args.num_steps)
         print(f"[serve] AOT sampler {'loaded' if hit else 'compiled+saved'} "
               f"in {time.time()-t0:.1f}s ({aot_path})")
+    if args.http is not None:
+        # pay init + compile before accepting traffic, through the exact
+        # routing the handler will use (view-sharded on a multi-chip mesh)
+        sv = n_dev > 1 and args.num_views % n_dev == 0
+        t0 = time.time()
+        out = generate_batch(pipe, ["warm-up"], key, mesh if sv else None,
+                             num_views=args.num_views,
+                             num_inference_steps=args.num_steps,
+                             render_size=args.render_size,
+                             image_size=pipe.mvldm.model.image_size,
+                             latent_hw=pipe.mvldm.model.latent_size,
+                             compiled_sample=compiled_sample, shard_views=sv)
+        device_sync(out["images_gs_render"])
+        print(f"[serve] warm in {time.time()-t0:.1f}s")
+        serve_http(pipe, args.http,
+                   export_dir=args.export_dir or "serve_out",
+                   num_views=args.num_views, num_steps=args.num_steps,
+                   render_size=args.render_size,
+                   compiled_sample=compiled_sample, mesh=mesh)
+        return
+
     # warm-up on the first batch size
     t0 = time.time()
     out = generate_batch(pipe, prompts[:bs], key, mesh,

@@ -105,3 +105,57 @@ def test_aot_sampler_roundtrip(tiny_pipeline_srv, tmp_path):
     lat_aot = loaded(pipe.mvldm_params, key, cams, txt, un)
     np.testing.assert_allclose(np.asarray(lat_aot), np.asarray(lat_live),
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_http_endpoint(tiny_pipeline_srv, tmp_path):
+    """serve_http end-to-end: healthz + POST /generate -> exported scene."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from serve import serve_http
+
+    holder, ready = {}, threading.Event()
+
+    def started(srv):
+        holder["srv"] = srv
+        ready.set()
+
+    th = threading.Thread(
+        target=serve_http, args=(tiny_pipeline_srv, 0),
+        kwargs=dict(export_dir=str(tmp_path), num_views=2, num_steps=2,
+                    render_size=32, started=started), daemon=True)
+    th.start()
+    assert ready.wait(30)
+    port = holder["srv"].server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    with urllib.request.urlopen(f"{base}/healthz", timeout=60) as r:
+        assert _json.loads(r.read())["status"] == "ok"
+
+    req = urllib.request.Request(
+        f"{base}/generate",
+        data=_json.dumps({"prompt": "a toy scene", "seed": 3}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = _json.loads(r.read())
+    assert out["id"] == 0 and out["seconds"] > 0
+    assert os.path.exists(out["paths"]["ply"])
+    assert os.path.exists(out["paths"]["splat"])
+    assert os.path.getsize(out["paths"]["splat"]) > 0
+
+    # malformed request -> 400, unknown path -> 404 (server stays up)
+    bad = urllib.request.Request(f"{base}/generate", data=b"{}",
+                                 method="POST")
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        assert False, "expected HTTP 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    try:
+        urllib.request.urlopen(f"{base}/nope", timeout=60)
+        assert False, "expected HTTP 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    holder["srv"].shutdown()
