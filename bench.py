@@ -331,6 +331,42 @@ def main():
                  f"native, {loader.get('images_per_s_python')} python")
         except Exception as e:  # never let the host stage sink the bench
             _log(f"bench: loader bench failed ({e})")
+    # chip-free stage: render quality vs the EXACT compositor on the
+    # trained-statistics scene, forced onto the host CPU in a subprocess
+    # (jax.config jax_platforms=cpu — the axon plugin ignores the env var).
+    # Keeps a real quality number in the artifact even when the tunnel is
+    # degraded; the on-chip psnr_vs_exact at full density still runs later.
+    if os.environ.get("BENCH_QUALITY_CPU", "1") == "1":
+        try:
+            import subprocess
+            import sys as _sys
+            code = (
+                "import jax\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                "import json\n"
+                "from prometheus_tpu.ops.gaussian.quality import ("
+                "make_trained_stats_scene, psnr_vs_exact)\n"
+                "from prometheus_tpu.utils import get_random_cameras\n"
+                "cams = get_random_cameras(jax.random.PRNGKey(0), 1,"
+                " size=512)[None]\n"
+                "scene = make_trained_stats_scene(jax.random.PRNGKey(5),"
+                " cams, n_gaussians=524288)\n"
+                "one = tuple(g[0] for g in scene)\n"
+                "out = {}\n"
+                "for label, cap in (('psnr_vs_exact_db', 1024),"
+                " ('fast_psnr_vs_exact_db', 512)):\n"
+                "    db = psnr_vs_exact(cams[0, 0], one,"
+                " jax.random.PRNGKey(42), h=512, w=512, tile_capacity=cap,"
+                " n_sample_tiles=16)\n"
+                "    out[label] = round(float(db), 1)\n"
+                "print(json.dumps(out))\n")
+            r = subprocess.run([_sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=900)
+            q = json.loads(r.stdout.strip().splitlines()[-1])
+            _PARTIAL["quality_cpu_trained_stats_512"] = q
+            _log(f"bench: CPU quality vs exact {q}")
+        except Exception as e:  # never let the host stage sink the bench
+            _log(f"bench: CPU quality stage failed ({e})")
     _PARTIAL["stage"] = "tunnel_probe"
     _probe_tunnel()
     small = os.environ.get("BENCH_SMALL", "0") == "1"
