@@ -408,10 +408,11 @@ class PrometheusPipeline:
         worklists small, so it takes all views in one dispatch.
 
         ``tile_capacity`` is the per-tile worklist cap — the rasterizer's
-        quality/speed knob (measured at 512^2/524k gaussians on v5e:
-        1024 -> 75 dB vs an exact render at 19.5 FPS; 512 -> 45.6 dB at
-        ~35 FPS; truncation is depth-ordered so dropped instances sit
-        behind near-saturated alpha)."""
+        speed knob (truncation is depth-ordered so dropped instances sit
+        behind near-saturated alpha; with the full instance budget even 512
+        measured exact on the trained-stats scene at 512^2/524k — the
+        per-round quality-vs-exact numbers live in the bench artifact's
+        ``psnr_vs_exact_db`` fields)."""
         if chunk is None:
             chunk = cameras.shape[1] if backend == "pallas" else 2
         outs = []
