@@ -422,8 +422,10 @@ def main():
     _PARTIAL["stage"] = "fast_render"
 
     # fast-render mode: capacity-512 worklists (depth-ordered truncation
-    # behind near-saturated alpha; 45.6 dB vs exact at worst-case density).
-    # Reported alongside, not as, the primary quality-default number.
+    # behind near-saturated alpha; measured exact on the trained-stats
+    # scene with the full 8x instance budget — fast_psnr_vs_exact_db below
+    # records it per round). Reported alongside, not as, the primary
+    # quality-default number.
     import numpy as np
 
     last_key = 100 + (3 if small else 2) - 1   # same scene as `result`

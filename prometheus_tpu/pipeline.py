@@ -432,9 +432,10 @@ class PrometheusPipeline:
         """Render a slerp-resampled trajectory video -> (T, 3, size, size) [-1,1].
 
         Default ``tile_capacity=512``: the 120-frame export pays the
-        rasterizer per frame, and capacity 512 is ~1.8x faster at 45.6 dB
-        vs an exact render even at worst-case density (display path; pass
-        1024+ for evaluation renders).
+        rasterizer per frame, and capacity 512 is markedly faster while
+        measuring exact on the trained-stats scene with the full instance
+        budget (display path; pass 1024+ for evaluation renders — the
+        per-round numbers are the bench artifact's psnr_vs_exact fields).
 
         ``mesh``: optional — shard the T frames over the mesh's ``data``
         axis (gaussians replicated; rendering is per-frame parallel), so
