@@ -75,9 +75,9 @@ def render_gaussians(
     max_tiles: tuple = (32, 32),
     near: float = 0.01,
     backend: str = "auto",  # 'auto' | 'xla' | 'pallas' (both differentiable)
-    # static instance budget of the exact expansion; None -> 6x gaussians
-    # (tiled.default_instance_budget). Overflow drops the least-opaque
-    # splats whole.
+    # static instance budget of the exact expansion; None -> 8x gaussians
+    # (tiled.default_instance_budget — measured never-binding on the
+    # trained-stats scene). Overflow drops the least-opaque splats whole.
     s_max: int | None = None,
 ):
     """Returns ``(images (B,N,3,h,w) in [-1,1], depths (B,N,1,h,w),
