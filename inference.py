@@ -57,6 +57,9 @@ def parse_args():
                         "default None = reference-exact full-interval CFG")
     p.add_argument("--render_size", type=int, default=512)
     p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--num_samples", type=int, default=1,
+                   help="independent samples per prompt (distinct trajectory"
+                        " + noise; reference inference.py num_samples)")
     p.add_argument("--num_video_frames", type=int, default=120)
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--no_video", action="store_true")
@@ -234,7 +237,13 @@ def main():
     args._vs_mesh = vs_mesh  # export_result shards the orbit video over it
 
     for i, prompt in enumerate(prompts):
+      for j in range(max(1, args.num_samples)):
+        # sample 0 keeps the historical per-prompt key; extra samples fold
+        # the sample index in (distinct trajectory + denoise noise, matching
+        # the reference's num_samples batch of TrajDiT draws)
         key = jax.random.PRNGKey(args.seed + i)
+        if j:
+            key = jax.random.fold_in(key, j)
         t0 = time.time()
         result = pipe.generate(
             prompt, key,
@@ -256,8 +265,11 @@ def main():
         dt = time.time() - t0
         slug = "".join(c if c.isalnum() else "_" for c in prompt[:48]).strip("_")
         out_dir = os.path.join(args.export_dir, f"{i:03d}_{slug}")
+        if args.num_samples > 1:  # reference layout: <prompt>/<sample_idx>/
+            out_dir = os.path.join(out_dir, str(j))
         paths = export_result(result, pipe, prompt, out_dir, args)
-        print(f"[{i+1}/{len(prompts)}] '{prompt}' -> {out_dir} ({dt:.1f}s)")
+        print(f"[{i+1}/{len(prompts)}] '{prompt}' sample {j} -> {out_dir} "
+              f"({dt:.1f}s)")
 
 
 if __name__ == "__main__":
