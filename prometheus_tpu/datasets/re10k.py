@@ -17,7 +17,7 @@ import numpy as np
 
 from ..utils.cameras import opencv_to_opengl
 from .base import MultiviewDataset
-from .transforms import crop_resize_normalize, decode_image
+from .transforms import crop_resize_normalize, decode_image_draft
 
 
 def _load_chunk(path: str):
@@ -68,7 +68,10 @@ class RealEstate10KDataset(MultiviewDataset):
         data = scene["raw"]
         images, c2ws, intrs = [], [], []
         for i in frame_ids:
-            raw = decode_image(bytes(np.asarray(data["images"][i]).tobytes()))
+            # normalized intrinsics scale with whatever dims we decode at,
+            # so the DCT-downscaled decode needs no intrinsics correction
+            raw, _ = decode_image_draft(
+                bytes(np.asarray(data["images"][i]).tobytes()), self.img_size)
             h, w = raw.shape[:2]
             cam = np.asarray(data["cameras"][i], np.float32)
             fx, fy = cam[0] * w, cam[1] * h

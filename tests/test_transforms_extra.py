@@ -56,3 +56,69 @@ def test_hflip_and_camera():
     cam[12:] = [10, 10, 3, 2, 8, 8]
     out = hflip_camera(cam)
     assert out[14] == 8 - 3  # cx mirrored
+
+
+def _synth_jpeg(h=720, w=960, quality=90):
+    import io
+
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = (127 + 80 * np.sin(yy / 7) + 60 * np.cos(xx / 11)
+           + np.random.default_rng(0).normal(0, 8, (h, w))).clip(0, 255)
+    img = np.stack([arr, np.roll(arr, 7, 0), np.roll(arr, 3, 1)],
+                   -1).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_decode_image_draft_quality_and_intrinsics():
+    from prometheus_tpu.datasets.transforms import (crop_resize_normalize,
+                                                    decode_image,
+                                                    decode_image_draft)
+
+    data = _synth_jpeg()
+    intr_full = np.asarray([800.0, 800.0, 480.0, 360.0], np.float32)
+
+    # full-res reference pipeline
+    ref_img, ref_intr = crop_resize_normalize(decode_image(data), 256,
+                                              intr_full.copy())
+    # DCT-downscaled decode (720p -> 256 target picks the 1/2 scale)
+    raw, (sx, sy) = decode_image_draft(data, 256)
+    assert raw.shape[0] < 720  # draft actually engaged
+    out_img, out_intr = crop_resize_normalize(
+        raw, 256, intr_full * np.asarray([sx, sy, sx, sy], np.float32))
+
+    mse = float(np.mean((ref_img - out_img) ** 2))
+    psnr = 10 * np.log10(4.0 / mse)  # [-1, 1] range
+    assert psnr > 40.0, psnr
+    # final intrinsics are in target coords on both paths
+    np.testing.assert_allclose(out_intr, ref_intr, rtol=1e-5)
+
+
+def test_decode_image_draft_noop_cases(monkeypatch):
+    import io
+
+    from PIL import Image
+
+    from prometheus_tpu.datasets.transforms import (decode_image,
+                                                    decode_image_draft)
+
+    data = _synth_jpeg()
+    # already near target -> exact full decode
+    raw, (sx, sy) = decode_image_draft(data, 512)
+    np.testing.assert_array_equal(raw, decode_image(data))
+    assert (sx, sy) == (1.0, 1.0)
+
+    # env kill-switch -> exact full decode even when draft would engage
+    monkeypatch.setenv("PROMETHEUS_JPEG_DRAFT", "0")
+    raw, _ = decode_image_draft(data, 128)
+    np.testing.assert_array_equal(raw, decode_image(data))
+    monkeypatch.delenv("PROMETHEUS_JPEG_DRAFT")
+
+    # non-JPEG sources never draft
+    buf = io.BytesIO()
+    Image.fromarray(decode_image(data)).save(buf, format="PNG")
+    raw, (sx, sy) = decode_image_draft(buf.getvalue(), 128)
+    assert raw.shape == (720, 960, 3) and (sx, sy) == (1.0, 1.0)
