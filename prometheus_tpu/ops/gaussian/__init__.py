@@ -11,7 +11,7 @@ The from-scratch replacement for the reference's external CUDA rasterizers
 from .converter import GAUSSIAN_CHANNELS, NUM_GAUSSIAN_CHANNELS, convert_gaussians
 from .naive import composite_naive
 from .projection import Projected, covariance_3d, project_gaussians, w2c_from_camera_vector
-from .renderer import render_gaussians
+from .renderer import render_gaussians, render_gaussians_tile_sharded
 from .tiled import composite_tiled
 
 __all__ = [
@@ -24,5 +24,6 @@ __all__ = [
     "covariance_3d",
     "project_gaussians",
     "render_gaussians",
+    "render_gaussians_tile_sharded",
     "w2c_from_camera_vector",
 ]

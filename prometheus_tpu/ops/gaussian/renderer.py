@@ -28,8 +28,17 @@ DEFAULT_BACKGROUND = (1.0, 1.0, 1.0)
 def _render_one_view(
     camera, xyz, colors, opacity, scales, rotations,
     h, w, tile_size, tile_capacity, max_tiles, near, backend, s_max,
+    band=None,
 ):
-    """Render one camera (18-dim vector) of one scene's gaussians."""
+    """Render one camera (18-dim vector) of one scene's gaussians.
+
+    ``band``: optional ``(y0, band_h)`` — composite only the horizontal
+    pixel band ``[y0, y0 + band_h)`` of the full ``h x w`` image (``y0`` may
+    be traced, ``band_h`` is static). Projection uses the FULL image
+    intrinsics; the band is selected by shifting the projected means and
+    culling gaussians whose alpha-cutoff support misses the band, so band
+    outputs equal the corresponding rows of the full render.
+    """
     c2w = camera_c2w(camera)
     c2w_cv34 = opengl_to_opencv(c2w[:3, :4])
     c2w_cv = jnp.concatenate([c2w_cv34, jnp.asarray([[0.0, 0.0, 0.0, 1.0]])], 0)
@@ -39,6 +48,16 @@ def _render_one_view(
         xyz, scales, rotations, w2c, fx, fy, cx, cy, h, w, near=near,
         opacities=opacity,
     )
+    if band is not None:
+        y0, band_h = band
+        y0 = jnp.asarray(y0, jnp.float32)
+        yc = proj.mean2d[:, 1]
+        keep = (yc + proj.radius > y0) & (yc - proj.radius < y0 + band_h)
+        proj = proj._replace(
+            mean2d=proj.mean2d - jnp.stack([jnp.zeros_like(y0), y0])[None],
+            valid=proj.valid & keep,
+        )
+        h = band_h
     if backend == "pallas":  # Pallas fwd+bwd kernels (differentiable)
         from .pallas_backward import composite_tiled_pallas_grad
 
@@ -113,3 +132,76 @@ def render_gaussians(
     depths = depth[:, :, None, :, :]                    # (B,N,1,h,w)
     masks = jnp.clip(alpha, 0.0, 1.0)[:, :, None, :, :]
     return images, depths, masks
+
+
+def render_gaussians_tile_sharded(
+    mesh,
+    cameras: jax.Array,  # (B, N, 18)
+    gaussians,
+    h: int = 512,
+    w: int = 512,
+    bg_color=None,
+    tile_size: int = 16,
+    tile_capacity: int = 1024,
+    max_tiles: tuple = (32, 32),
+    near: float = 0.01,
+    backend: str = "auto",
+    s_max: int | None = None,
+    axis: str = "data",
+):
+    """``render_gaussians`` with the TILE ROWS sharded over ``mesh[axis]`` —
+    single-image latency scales with chips (SURVEY §7 build-plan step 9;
+    complements view-sharding, which needs N views to parallelize).
+
+    Each device composites a horizontal band of ``h / D`` pixel rows:
+    projection is replicated (a few % of render cost), then binning, the
+    instance sort, and compositing run on the band's gaussians only
+    (alpha-cutoff support overlap test) — no collectives at all; the sharded
+    output assembles lazily. Band results equal the corresponding rows of
+    the single-device render (each band keeps the full ``s_max`` budget for
+    its subset, so budget pressure can only DROP relative to one device).
+
+    Inference path (rendering/serving); training keeps the per-view vmap.
+    """
+    D = mesh.shape[axis]
+    if h % (tile_size * D):
+        raise ValueError(
+            f"h={h} must split into {D} equal bands of whole {tile_size}px "
+            f"tile rows")
+    band_h = h // D
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    xyz, features, opacity, scales, rotations = gaussians
+    colors = features[:, :, 0, :]
+    opac = opacity[..., 0]
+    bg = jnp.asarray(DEFAULT_BACKGROUND if bg_color is None else bg_color,
+                     jnp.float32)
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+        _check = {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        _check = {"check_rep": False}
+    from jax.sharding import PartitionSpec as P
+
+    def run(cameras, xyz, colors, opac, scales, rotations):
+        y0 = (jax.lax.axis_index(axis) * band_h).astype(jnp.float32)
+        view_fn = partial(
+            _render_one_view,
+            h=h, w=w, tile_size=tile_size, tile_capacity=tile_capacity,
+            max_tiles=max_tiles, near=near, backend=backend, s_max=s_max,
+            band=(y0, band_h),
+        )
+        per_scene = jax.vmap(view_fn, in_axes=(0, None, None, None, None, None))
+        rgb, depth, alpha = jax.vmap(per_scene)(
+            cameras, xyz, colors, opac, scales, rotations)
+        rgb = rgb + (1.0 - alpha[..., None]) * bg
+        images = jnp.moveaxis(rgb, -1, 2) * 2.0 - 1.0
+        return images, depth[:, :, None], jnp.clip(alpha, 0.0, 1.0)[:, :, None]
+
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(None, None, None, axis, None),) * 3, **_check)
+    return fn(cameras, xyz, colors, opac, scales, rotations)
