@@ -443,7 +443,7 @@ class PrometheusPipeline:
         t = jnp.linspace(0, 1, num_frames)[None]
         cams = sample_from_dense_cameras(dense_cameras[:1], t)  # (1, T, 18)
         backend = self._backend()
-        if mesh is not None and num_frames % mesh.shape["data"] == 0:
+        if mesh is not None:
             try:
                 from jax import shard_map  # jax >= 0.8
                 _check = {"check_vma": False}
@@ -451,6 +451,15 @@ class PrometheusPipeline:
                 from jax.experimental.shard_map import shard_map
                 _check = {"check_rep": False}
             from jax.sharding import PartitionSpec as P
+
+            # pad T up to a device-count multiple (repeat the last camera)
+            # so ANY frame count stays on the sharded path; padded frames
+            # are sliced off after the gather
+            n_dev = mesh.shape["data"]
+            pad = (-num_frames) % n_dev
+            if pad:
+                cams = jnp.concatenate(
+                    [cams, jnp.repeat(cams[:, -1:], pad, axis=1)], axis=1)
 
             def run(cams_local, g):
                 imgs, _, _ = render_gaussians(
@@ -461,7 +470,7 @@ class PrometheusPipeline:
             fn = shard_map(run, mesh=mesh,
                            in_specs=(P(None, "data"), P()),
                            out_specs=P(None, "data"), **_check)
-            return np.asarray(fn(cams, gaussians)[0])
+            return np.asarray(fn(cams, gaussians)[0][:num_frames])
         frames = []
         for i in range(0, num_frames, chunk):
             imgs, deps, _ = render_gaussians(

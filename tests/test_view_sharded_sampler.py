@@ -188,6 +188,15 @@ def test_orbit_video_frame_sharding_matches(key):
     assert out.shape == ref.shape == (8, 3, 32, 32)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
+    # frame counts that do NOT divide the device count stay sharded too
+    # (padded with the last camera, sliced after the gather)
+    ref7 = PrometheusPipeline.render_orbit_video(
+        pipe, gaussians, dense, num_frames=7, size=32, chunk=4)
+    out7 = PrometheusPipeline.render_orbit_video(
+        pipe, gaussians, dense, num_frames=7, size=32, mesh=mesh)
+    assert out7.shape == ref7.shape == (7, 3, 32, 32)
+    np.testing.assert_allclose(out7, ref7, rtol=1e-4, atol=1e-4)
+
 
 def test_view_sharded_indivisible_raises(key):
     system, params, cams, txt = _small_system(key, N=3, hw=8)
