@@ -17,7 +17,7 @@ import numpy as np
 
 from ..utils.cameras import opencv_to_opengl
 from .base import MultiviewDataset
-from .transforms import crop_resize_normalize, decode_image_draft
+from .transforms import decode_crop_resize_normalize
 
 
 def _load_chunk(path: str):
@@ -68,16 +68,12 @@ class RealEstate10KDataset(MultiviewDataset):
         data = scene["raw"]
         images, c2ws, intrs = [], [], []
         for i in frame_ids:
-            # normalized intrinsics scale with whatever dims we decode at,
-            # so the DCT-downscaled decode needs no intrinsics correction
-            raw, _ = decode_image_draft(
-                bytes(np.asarray(data["images"][i]).tobytes()), self.img_size)
-            h, w = raw.shape[:2]
             cam = np.asarray(data["cameras"][i], np.float32)
-            fx, fy = cam[0] * w, cam[1] * h
-            cx, cy = cam[2] * w, cam[3] * h
-            img, intr = crop_resize_normalize(
-                raw, self.img_size, np.asarray([fx, fy, cx, cy], np.float32))
+            # cam[:4] are resolution-invariant [fx/W, fy/H, cx/W, cy/H] —
+            # the fused decode resolves them against the decoded dims
+            img, intr = decode_crop_resize_normalize(
+                bytes(np.asarray(data["images"][i]).tobytes()),
+                self.img_size, cam[:4], normalized=True)
             w2c = np.eye(4, dtype=np.float64)
             w2c[:3] = cam[6:18].reshape(3, 4)
             c2w_cv = np.linalg.inv(w2c)[:3]

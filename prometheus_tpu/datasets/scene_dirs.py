@@ -25,7 +25,7 @@ import numpy as np
 from ..utils.cameras import opencv_to_opengl
 from .base import MultiviewDataset, load_annotation
 from .file_readers import make_reader
-from .transforms import crop_resize_normalize, decode_image_draft
+from .transforms import decode_crop_resize_normalize
 
 
 class AnnotatedScenesDataset(MultiviewDataset):
@@ -78,13 +78,11 @@ class AnnotatedScenesDataset(MultiviewDataset):
         if intrinsics.ndim == 1:
             intrinsics = np.tile(intrinsics, (poses.shape[0], 1))
         for i in frame_ids:
-            raw, (sx, sy) = decode_image_draft(
-                self.reader.fetch(scene["frames"][i]), self.img_size)
-            # annotation intrinsics are full-res pixels; bring them to the
-            # (possibly DCT-downscaled) decoded frame before the crop math
-            intr4 = intrinsics[i, :4] * np.asarray(
-                [sx, sy, sx, sy], np.float32)
-            img, intr = crop_resize_normalize(raw, self.img_size, intr4)
+            # annotation intrinsics are full-res pixels; the fused decode
+            # rescales them for its (possibly DCT-downscaled) decode dims
+            img, intr = decode_crop_resize_normalize(
+                self.reader.fetch(scene["frames"][i]), self.img_size,
+                intrinsics[i, :4])
             images.append(img)
             c2ws.append(self._to_opengl(poses[i]))
             intrs.append(intr)

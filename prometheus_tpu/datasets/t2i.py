@@ -21,7 +21,7 @@ import numpy as np
 
 from .base import BaseDataset, load_annotation
 from .file_readers import make_reader
-from .transforms import crop_resize_normalize, decode_image_draft
+from .transforms import decode_crop_resize_normalize
 
 _BOILERPLATE = re.compile(
     r"^(the (image|photo) (shows|depicts|features|captures)|"
@@ -99,9 +99,8 @@ class Text2ImageDataset(BaseDataset):
         images, texts = [], []
         for k in range(self.images_per_iter):
             item = self.items[(idx + k) % len(self.items)]
-            raw, _ = decode_image_draft(self.reader.fetch(item["file"]),
-                                        self.img_size)
-            img, _ = crop_resize_normalize(raw, self.img_size)
+            img, _ = decode_crop_resize_normalize(
+                self.reader.fetch(item["file"]), self.img_size)
             images.append(img)
             cap = clean_caption(item.get("caption", ""))
             if rng.random() < self.drop_text_p:

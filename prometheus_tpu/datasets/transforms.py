@@ -98,6 +98,66 @@ def crop_resize_normalize(img: np.ndarray, size: int,
     return native.center_crop_resize_normalize(img, size), intrinsics
 
 
+def _adjust_intrinsics(intr, h: int, w: int, size: int) -> np.ndarray:
+    """Pixel intrinsics at (h, w) -> after central-square crop + resize."""
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    fx, fy, cx, cy = intr
+    scale = size / s
+    return np.asarray([fx * scale, fy * scale,
+                       (cx - left) * scale, (cy - top) * scale], np.float32)
+
+
+def decode_crop_resize_normalize(data: bytes, size: int,
+                                 intrinsics: np.ndarray | None = None,
+                                 normalized: bool = False):
+    """The per-frame training hot path in ONE call: image bytes ->
+    (DCT-downscaled) decode -> central-square crop -> antialiased resize ->
+    float32 CHW [-1, 1], plus the matching intrinsics adjustment.
+
+    JPEG sources route through the fully-native C path (libjpeg decode fused
+    into the C++ transform, no intermediate Python image objects); other
+    formats (and hosts without libjpeg) use :func:`decode_image_draft` +
+    :func:`crop_resize_normalize`. ``PROMETHEUS_JPEG_DRAFT=0`` forces
+    full-resolution decodes on both paths; ``PROMETHEUS_NATIVE=0`` forces
+    pure Python.
+
+    ``intrinsics``: optional ``[fx, fy, cx, cy]`` — in FULL-resolution
+    pixels (``normalized=False``) or resolution-invariant units
+    ``[fx/W, fy/H, cx/W, cy/H]`` (``normalized=True``). Returned in target
+    (``size``^2) pixel coordinates either way."""
+    from .. import native
+
+    max_denom = 1 if os.environ.get("PROMETHEUS_JPEG_DRAFT", "1") == "0" \
+        else 8
+    out = native.decode_jpeg_crop_resize_normalize(data, size,
+                                                   max_denom=max_denom)
+    if out is not None:
+        chw, (sx, sy), (dh, dw) = out
+        if intrinsics is not None:
+            fx, fy, cx, cy = np.asarray(intrinsics, np.float32)
+            if normalized:
+                intr = np.asarray([fx * dw, fy * dh, cx * dw, cy * dh],
+                                  np.float32)
+            else:
+                intr = np.asarray([fx * sx, fy * sy, cx * sx, cy * sy],
+                                  np.float32)
+            intrinsics = _adjust_intrinsics(intr, dh, dw, size)
+        return chw, intrinsics
+
+    raw, (sx, sy) = decode_image_draft(data, size)
+    dh, dw = raw.shape[:2]
+    if intrinsics is not None:
+        fx, fy, cx, cy = np.asarray(intrinsics, np.float32)
+        if normalized:
+            intrinsics = np.asarray([fx * dw, fy * dh, cx * dw, cy * dh],
+                                    np.float32)
+        else:
+            intrinsics = np.asarray([fx * sx, fy * sy, cx * sx, cy * sy],
+                                    np.float32)
+    return crop_resize_normalize(raw, size, intrinsics)
+
+
 def normalize_image(img: np.ndarray) -> np.ndarray:
     """uint8 (H, W, 3) -> float32 (3, H, W) in [-1, 1] (channels-first)."""
     out = img.astype(np.float32) / 127.5 - 1.0

@@ -24,9 +24,19 @@ _lib = None
 def _build() -> bool:
     try:
         os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
-            check=True, capture_output=True, timeout=120)
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                "-o", _LIB]
+        # prefer the fully-native frame path (libjpeg DCT-downscaled decode
+        # fused into the transform); fall back to transform-only if the
+        # system lacks libjpeg dev files
+        try:
+            subprocess.run(base[:2] + ["-DPROMETHEUS_JPEG"] + base[2:]
+                           + ["-ljpeg"],
+                           check=True, capture_output=True, timeout=120)
+            return True
+        except Exception:
+            pass
+        subprocess.run(base, check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         return False
@@ -57,6 +67,11 @@ def get_lib():
     lib.encode_splat.argtypes = [f32p, f32p, f32p, f32p, f32p,
                                  ctypes.c_int, ctypes.c_float, u8p]
     lib.encode_splat.restype = ctypes.c_int
+    if hasattr(lib, "decode_jpeg_crop_resize_normalize"):
+        lib.decode_jpeg_crop_resize_normalize.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+            ctypes.POINTER(ctypes.c_int)]
+        lib.decode_jpeg_crop_resize_normalize.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -82,6 +97,34 @@ def center_crop_resize_normalize(img: np.ndarray, out_size: int) -> np.ndarray:
 
     out, _ = center_crop_and_resize(img, out_size)
     return normalize_image(out)
+
+
+def decode_jpeg_crop_resize_normalize(data: bytes, out_size: int,
+                                      max_denom: int = 8):
+    """JPEG bytes -> ``(chw_f32 (3, S, S) in [-1, 1], (sx, sy), (dec_h,
+    dec_w))`` in ONE native call (libjpeg DCT-downscaled decode fused into
+    the crop/antialiased-resize/normalize transform). ``(sx, sy)`` =
+    decoded/full per-axis scale for intrinsics rescale; ``max_denom=1``
+    forces a full-resolution decode.
+
+    Returns ``None`` when the native path is unavailable or declines the
+    file (non-JPEG, corrupt, exotic colorspace) — callers fall back to the
+    Python decoder."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "decode_jpeg_crop_resize_normalize"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    dst = np.empty((3, out_size, out_size), np.float32)
+    dims = np.zeros(4, np.int32)
+    rc = lib.decode_jpeg_crop_resize_normalize(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out_size, max_denom,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        dims.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if rc != 0:
+        return None
+    return (dst, (float(dims[2]) / dims[0], float(dims[3]) / dims[1]),
+            (int(dims[3]), int(dims[2])))
 
 
 def encode_splat(gaussians, opacity_threshold: float = 0.0) -> bytes:

@@ -123,6 +123,19 @@ int center_crop_resize_normalize(const uint8_t* src, int h, int w,
     return 0;
 }
 
+#ifdef PROMETHEUS_JPEG
+// Fully-native frame path: JPEG bytes -> libjpeg(-turbo) DCT-downscaled
+// decode (largest 1/2^k <= max_denom keeping the short side >= out_size —
+// the same rule as transforms.decode_image_draft) -> central-square crop ->
+// antialiased resize -> float32 CHW in [-1, 1], in ONE call with no
+// intermediate Python objects. dims out: {full_w, full_h, dec_w, dec_h}
+// (for per-axis intrinsics rescale). Returns 0 on success; nonzero asks the
+// caller to fall back to the Python decoder (corrupt/exotic files).
+int decode_jpeg_crop_resize_normalize(const uint8_t* data, int len,
+                                      int out_size, int max_denom,
+                                      float* dst, int* dims);
+#endif
+
 // uint8 HWC -> float32 CHW in [-1, 1] (no resize).
 int u8_to_chw_f32(const uint8_t* src, int h, int w, float* dst) {
     const int plane = h * w;
@@ -175,5 +188,78 @@ int encode_splat(const float* xyz, const float* rgb, const float* opacity,
     }
     return static_cast<int>(order.size());
 }
+
+#ifdef PROMETHEUS_JPEG
+}  // extern "C"  (jpeglib.h must be included at file scope, outside it)
+
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+struct PJErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jb;
+};
+void pj_error_exit(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<PJErr*>(cinfo->err)->jb, 1);
+}
+void pj_silence(j_common_ptr, int) {}
+}  // namespace
+
+extern "C" {
+
+int decode_jpeg_crop_resize_normalize(const uint8_t* data, int len,
+                                      int out_size, int max_denom,
+                                      float* dst, int* dims) {
+    if (len <= 0 || out_size <= 0) return 1;
+    jpeg_decompress_struct cinfo;
+    PJErr jerr;
+    std::vector<uint8_t> pixels;  // before setjmp: longjmp re-enters below,
+                                  // we return normally, destructor runs
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = pj_error_exit;
+    jerr.mgr.emit_message = pj_silence;    // no stderr spam on warnings
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 2;                           // caller falls back to Python
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return 3;
+    }
+    const int fw = static_cast<int>(cinfo.image_width);
+    const int fh = static_cast<int>(cinfo.image_height);
+    const int s = fw < fh ? fw : fh;
+    int denom = 1;
+    if (max_denom < 1) max_denom = 1;
+    while (denom < max_denom && s / (2 * denom) >= out_size) denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned>(denom);
+    cinfo.out_color_space = JCS_RGB;        // turbo converts gray/YCbCr
+    jpeg_start_decompress(&cinfo);
+    const int dw = static_cast<int>(cinfo.output_width);
+    const int dh = static_cast<int>(cinfo.output_height);
+    if (cinfo.output_components != 3) {
+        jpeg_destroy_decompress(&cinfo);
+        return 4;
+    }
+    pixels.resize(static_cast<size_t>(dw) * dh * 3);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = &pixels[static_cast<size_t>(cinfo.output_scanline)
+                               * dw * 3];
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    dims[0] = fw;
+    dims[1] = fh;
+    dims[2] = dw;
+    dims[3] = dh;
+    return center_crop_resize_normalize(pixels.data(), dh, dw, out_size, dst);
+}
+#endif  // PROMETHEUS_JPEG
 
 }  // extern "C"

@@ -122,3 +122,40 @@ def test_decode_image_draft_noop_cases(monkeypatch):
     Image.fromarray(decode_image(data)).save(buf, format="PNG")
     raw, (sx, sy) = decode_image_draft(buf.getvalue(), 128)
     assert raw.shape == (720, 960, 3) and (sx, sy) == (1.0, 1.0)
+
+
+def test_decode_crop_resize_normalize_native_matches_python(monkeypatch):
+    """The fully-native JPEG path (libjpeg decode fused into the C++
+    transform) must agree with the Python decoder + transform, including
+    both intrinsics conventions."""
+    from prometheus_tpu import native
+    from prometheus_tpu.datasets.transforms import (
+        decode_crop_resize_normalize)
+
+    data = _synth_jpeg()
+    intr_px = np.asarray([800.0, 820.0, 470.0, 350.0], np.float32)
+    intr_norm = intr_px / np.asarray([960, 720, 960, 720], np.float32)
+
+    out_n = decode_crop_resize_normalize(data, 256, intr_px.copy())
+    out_norm = decode_crop_resize_normalize(data, 256, intr_norm,
+                                            normalized=True)
+    monkeypatch.setenv("PROMETHEUS_NATIVE", "0")
+    out_p = decode_crop_resize_normalize(data, 256, intr_px.copy())
+    monkeypatch.delenv("PROMETHEUS_NATIVE")
+
+    if native.available():
+        # the python fallback resizes with PIL LANCZOS vs the C++ triangle
+        # filter (documented ~42 dB agreement on textured content)
+        mse = float(np.mean((out_n[0] - out_p[0]) ** 2))
+        assert 10 * np.log10(4.0 / mse) > 38.0
+    np.testing.assert_allclose(out_n[1], out_p[1], rtol=1e-5)
+    # normalized intrinsics resolve to the same target-coordinate values
+    np.testing.assert_allclose(out_norm[1], out_n[1], rtol=1e-5)
+
+    # full-decode kill switch applies to the native path too
+    monkeypatch.setenv("PROMETHEUS_JPEG_DRAFT", "0")
+    out_full = decode_crop_resize_normalize(data, 256, intr_px.copy())
+    monkeypatch.delenv("PROMETHEUS_JPEG_DRAFT")
+    np.testing.assert_allclose(out_full[1], out_n[1], rtol=1e-5)
+    mse = float(np.mean((out_full[0] - out_n[0]) ** 2))
+    assert 10 * np.log10(4.0 / mse) > 40.0
