@@ -423,8 +423,8 @@ def main():
 
     # fast-render mode: capacity-512 worklists (depth-ordered truncation
     # behind near-saturated alpha; measured exact on the trained-stats
-    # scene with the full 8x instance budget — fast_psnr_vs_exact_db below
-    # records it per round). Reported alongside, not as, the primary
+    # scene with the full default instance budget — fast_psnr_vs_exact_db
+    # below records it per round). Reported alongside, not as, the primary
     # quality-default number.
     import numpy as np
 

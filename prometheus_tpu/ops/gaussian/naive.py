@@ -108,7 +108,6 @@ def composite_naive(
     mean2d = proj.mean2d[order]
     conic = proj.conic[order]
     depth = proj.depth[order]
-    radius = proj.radius[order]
     valid = proj.valid[order]
     colors = colors[order]
     opacities = opacities[order]
@@ -128,13 +127,18 @@ def composite_naive(
     keep = valid[None, :] & (alpha >= ALPHA_CUTOFF) & (sigma >= 0)
 
     if tile_size is not None:
-        # Same tile-level culling as the production path.
+        # Same tile-level culling as the production path (per-axis extents
+        # when the projection provides them, isotropic radius otherwise).
+        from .projection import bbox_extents
+
+        rx, ry = bbox_extents(proj)
+        rx, ry = rx[order], ry[order]
         tx = (px[:, 0] - 0.5) // tile_size
         ty = (px[:, 1] - 0.5) // tile_size
-        gx0 = jnp.floor((mean2d[:, 0] - radius) / tile_size)
-        gx1 = jnp.floor((mean2d[:, 0] + radius) / tile_size)
-        gy0 = jnp.floor((mean2d[:, 1] - radius) / tile_size)
-        gy1 = jnp.floor((mean2d[:, 1] + radius) / tile_size)
+        gx0 = jnp.floor((mean2d[:, 0] - rx) / tile_size)
+        gx1 = jnp.floor((mean2d[:, 0] + rx) / tile_size)
+        gy0 = jnp.floor((mean2d[:, 1] - ry) / tile_size)
+        gy1 = jnp.floor((mean2d[:, 1] + ry) / tile_size)
         keep &= (
             (tx[:, None] >= gx0[None, :]) & (tx[:, None] <= gx1[None, :])
             & (ty[:, None] >= gy0[None, :]) & (ty[:, None] <= gy1[None, :])

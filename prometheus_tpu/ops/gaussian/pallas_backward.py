@@ -198,25 +198,27 @@ def _pallas_backward(data, gout, counts, img_h, img_w, tile_size, capacity,
 # ---------------------------------------------------------------------------
 
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
-def composite_pallas_diff(mean2d, conic, depth, radius, validf, colors,
+def composite_pallas_diff(mean2d, conic, depth, radii, validf, colors,
                           opacities, img_h, img_w, tile_size, capacity,
                           max_tiles, interpret, s_max):
     """Differentiable Pallas compositor over pre-projected gaussians.
 
-    ``radius``/``validf`` (float 0/1 mask) only gate binning; their
-    gradients are zero. Returns (rgb, expected_depth, alpha)."""
-    out, _ = _fwd(mean2d, conic, depth, radius, validf, colors, opacities,
+    ``radii`` ((N, 3): isotropic radius + per-axis rx/ry extents) and
+    ``validf`` (float 0/1 mask) only gate binning; their gradients are
+    zero. Returns (rgb, expected_depth, alpha)."""
+    out, _ = _fwd(mean2d, conic, depth, radii, validf, colors, opacities,
                   img_h, img_w, tile_size, capacity, max_tiles, interpret,
                   s_max)
     return out
 
 
-def _fwd(mean2d, conic, depth, radius, validf, colors, opacities, img_h,
+def _fwd(mean2d, conic, depth, radii, validf, colors, opacities, img_h,
          img_w, tile_size, capacity, max_tiles, interpret, s_max):
     """Bin ONCE; save the binned worklists + segment indices + forward
     outputs as residuals so the backward never re-sorts or re-gathers
     (the binning sort dominates the stage at production density)."""
-    proj = Projected(mean2d, conic, depth, radius, validf > 0.5)
+    proj = Projected(mean2d, conic, depth, radii[:, 0], validf > 0.5,
+                     rx=radii[:, 1], ry=radii[:, 2])
     idx, in_seg, counts = sorted_tile_segments(proj, img_h, img_w, tile_size,
                                                capacity, max_tiles, s_max,
                                                opacities=opacities)
@@ -271,7 +273,8 @@ def _bwd(img_h, img_w, tile_size, capacity, max_tiles, interpret, s_max,
     d_op = seg(8, 9)[:, 0]
     d_depth = seg(9, 10)[:, 0]
     zeros_n = jnp.zeros((n,), jnp.float32)
-    return (d_mean2d, d_conic, d_depth, zeros_n, zeros_n, d_colors, d_op)
+    return (d_mean2d, d_conic, d_depth, jnp.zeros((n, 3), jnp.float32),
+            zeros_n, d_colors, d_op)
 
 
 composite_pallas_diff.defvjp(_fwd, _bwd)
@@ -284,7 +287,11 @@ def composite_tiled_pallas_grad(proj: Projected, colors, opacities,
                                 interpret: bool = False,
                                 s_max: int | None = None):
     """Differentiable entry point matching ``composite_tiled``'s signature."""
+    from .projection import bbox_extents
+
+    rx, ry = bbox_extents(proj)
+    radii = jnp.stack([proj.radius, rx, ry], axis=-1)
     return composite_pallas_diff(
-        proj.mean2d, proj.conic, proj.depth, proj.radius,
+        proj.mean2d, proj.conic, proj.depth, radii,
         proj.valid.astype(jnp.float32), colors, opacities,
         img_h, img_w, tile_size, capacity, max_tiles, interpret, s_max)

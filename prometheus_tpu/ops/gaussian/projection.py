@@ -44,6 +44,21 @@ class Projected(NamedTuple):
     depth: jax.Array    # (...,) camera-space z
     radius: jax.Array   # (...,) float bounding radius in pixels (0 where culled)
     valid: jax.Array    # (...,) bool
+    # Per-axis half-extents of the cutoff level set's EXACT axis-aligned
+    # bounding box: the ellipse {d : sigma(d) <= q} spans +-sqrt(2q Sigma_xx)
+    # horizontally and +-sqrt(2q Sigma_yy) vertically — always <= the
+    # isotropic ``radius`` (= sqrt(2q lambda_max)), and strictly tighter for
+    # anisotropic splats. Used by tile binning; ``None`` (hand-built test
+    # projections) falls back to the isotropic radius.
+    rx: jax.Array | None = None   # (...,) horizontal half-extent (pixels)
+    ry: jax.Array | None = None   # (...,) vertical half-extent (pixels)
+
+
+def bbox_extents(proj: "Projected") -> tuple[jax.Array, jax.Array]:
+    """Per-axis bounding half-extents ``(rx, ry)`` with isotropic fallback."""
+    rx = proj.radius if proj.rx is None else proj.rx
+    ry = proj.radius if proj.ry is None else proj.ry
+    return rx, ry
 
 
 def covariance_3d(scales: jax.Array, quats: jax.Array) -> jax.Array:
@@ -135,28 +150,34 @@ def project_gaussians(
         [fx * p_cam[..., 0] * inv_z + cx, fy * p_cam[..., 1] * inv_z + cy], -1
     )
 
-    # Bounding radius from the largest eigenvalue of cov2d.
+    # Bounding radius from the largest eigenvalue of cov2d, plus the EXACT
+    # per-axis AABB of the cutoff level set (rx/ry from the covariance
+    # diagonal — the ellipse's axis-aligned extents; see Projected).
     b = 0.5 * (cov00 + cov11)
     v1 = b + jnp.sqrt(jnp.maximum(b * b - det, 0.01))
     if opacities is None:
-        radius = RADIUS_CUTOFF * jnp.sqrt(v1)
+        k = RADIUS_CUTOFF
     else:
         op = jax.lax.stop_gradient(opacities)
         k = jnp.sqrt(jnp.maximum(2.0 * jnp.log(
             jnp.maximum(op, 1e-12) / ALPHA_CUTOFF), 0.0))
-        radius = k * jnp.sqrt(v1)
         valid = valid & (op > ALPHA_CUTOFF)
-    # Cull gaussians fully outside the image.
+    radius = k * jnp.sqrt(v1)
+    rx = k * jnp.sqrt(jnp.maximum(cov00, 0.0))
+    ry = k * jnp.sqrt(jnp.maximum(cov11, 0.0))
+    # Cull gaussians whose cutoff support is fully outside the image.
     inside = (
-        (mean2d[..., 0] + radius > 0)
-        & (mean2d[..., 0] - radius < img_w)
-        & (mean2d[..., 1] + radius > 0)
-        & (mean2d[..., 1] - radius < img_h)
+        (mean2d[..., 0] + rx > 0)
+        & (mean2d[..., 0] - rx < img_w)
+        & (mean2d[..., 1] + ry > 0)
+        & (mean2d[..., 1] - ry < img_h)
     )
     valid = valid & inside
     radius = jnp.where(valid, radius, 0.0)
+    rx = jnp.where(valid, rx, 0.0)
+    ry = jnp.where(valid, ry, 0.0)
     depth = jnp.where(valid, tz, jnp.inf)
-    return Projected(mean2d, conic, depth, radius, valid)
+    return Projected(mean2d, conic, depth, radius, valid, rx=rx, ry=ry)
 
 
 def w2c_from_camera_vector(camera: jax.Array) -> jax.Array:

@@ -49,10 +49,13 @@ def _render_one_view(
         opacities=opacity,
     )
     if band is not None:
+        from .projection import bbox_extents
+
         y0, band_h = band
         y0 = jnp.asarray(y0, jnp.float32)
         yc = proj.mean2d[:, 1]
-        keep = (yc + proj.radius > y0) & (yc - proj.radius < y0 + band_h)
+        _, ry = bbox_extents(proj)
+        keep = (yc + ry > y0) & (yc - ry < y0 + band_h)
         proj = proj._replace(
             mean2d=proj.mean2d - jnp.stack([jnp.zeros_like(y0), y0])[None],
             valid=proj.valid & keep,
@@ -94,9 +97,9 @@ def render_gaussians(
     max_tiles: tuple = (32, 32),
     near: float = 0.01,
     backend: str = "auto",  # 'auto' | 'xla' | 'pallas' (both differentiable)
-    # static instance budget of the exact expansion; None -> 8x gaussians
-    # (tiled.default_instance_budget — measured never-binding on the
-    # trained-stats scene). Overflow drops the least-opaque splats whole.
+    # static instance budget of the exact expansion; None -> 6x gaussians
+    # (tiled.default_instance_budget — never-binding on the trained-stats
+    # scene with per-axis extents). Overflow drops least-opaque splats whole.
     s_max: int | None = None,
 ):
     """Returns ``(images (B,N,3,h,w) in [-1,1], depths (B,N,1,h,w),

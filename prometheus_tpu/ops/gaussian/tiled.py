@@ -31,15 +31,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from .naive import ALPHA_CUTOFF, MAX_ALPHA
-from .projection import Projected
+from .projection import Projected, bbox_extents
 
 
 def _tile_bbox(proj: Projected, tile_size: int, grid_w: int, grid_h: int):
-    """Per-gaussian covered-tile bbox ``(x0, x1, y0, y1)`` (inclusive)."""
-    x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - proj.radius) / tile_size), 0, grid_w - 1).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + proj.radius) / tile_size), 0, grid_w - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - proj.radius) / tile_size), 0, grid_h - 1).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + proj.radius) / tile_size), 0, grid_h - 1).astype(jnp.int32)
+    """Per-gaussian covered-tile bbox ``(x0, x1, y0, y1)`` (inclusive).
+
+    Uses the per-axis cutoff extents (``rx``/``ry``) when the projection
+    provides them — the EXACT AABB of the alpha-cutoff level set, tighter
+    than the isotropic eigenvalue radius for anisotropic splats, so every
+    culled tile provably receives zero contribution."""
+    rx, ry = bbox_extents(proj)
+    x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - rx) / tile_size), 0, grid_w - 1).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + rx) / tile_size), 0, grid_w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - ry) / tile_size), 0, grid_h - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + ry) / tile_size), 0, grid_h - 1).astype(jnp.int32)
     return x0, x1, y0, y1
 
 
@@ -62,6 +68,37 @@ def _clamped_windows(proj: Projected, tile_size: int, grid_w: int,
     ex0 = jnp.clip(cxt - wx // 2, x0, x1 - wx + 1)
     ey0 = jnp.clip(cyt - wy // 2, y0, y1 - wy + 1)
     return ex0, ey0, wx, wy
+
+
+def _rect_min_sigma(mx, my, ca, cb, cc, x0, y0, x1, y1):
+    """Minimum of ``sigma(d) = 0.5*(ca dx^2 + cc dy^2) + cb dx dy`` over the
+    rectangle ``[x0, x1] x [y0, y1]`` (pixel coords), d = p - mean.
+
+    The quadratic is PSD (conic = inverse covariance), so the minimum is 0
+    when the mean lies inside the rect, else it lies on the boundary: each
+    edge is a 1-D quadratic minimized in closed form and clamped to the
+    edge's extent. Used for EXACT per-tile culling — an instance whose
+    minimum sigma over its tile exceeds the alpha-cutoff level contributes
+    exactly nothing (every compositor zeroes alpha < ALPHA_CUTOFF)."""
+    lx, ux = x0 - mx, x1 - mx
+    ly, uy = y0 - my, y1 - my
+
+    def q(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+    # vertical edges x = lx / ux: optimal y* = -cb x / cc, clamped
+    y_l = jnp.clip(-cb * lx / cc_s, ly, uy)
+    y_u = jnp.clip(-cb * ux / cc_s, ly, uy)
+    # horizontal edges y = ly / uy: optimal x* = -cb y / ca, clamped
+    x_l = jnp.clip(-cb * ly / ca_s, lx, ux)
+    x_u = jnp.clip(-cb * uy / ca_s, lx, ux)
+    edge_min = jnp.minimum(
+        jnp.minimum(q(lx, y_l), q(ux, y_u)),
+        jnp.minimum(q(x_l, ly), q(x_u, uy)))
+    inside = (lx <= 0) & (ux >= 0) & (ly <= 0) & (uy >= 0)
+    return jnp.where(inside, 0.0, edge_min)
 
 
 def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
@@ -123,16 +160,27 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
     p_of_slot = jax.lax.associative_scan(jnp.maximum, marks)
 
     # pack per-position decode data once -> ONE s_max-row gather (all
-    # values < 2^24 so f32 carries them exactly)
-    deco = jnp.stack([
+    # integer-valued columns < 2^24 so f32 carries them exactly); the extra
+    # mean/conic/cutoff columns feed the per-tile exact cull below
+    cols = [
         starts.astype(jnp.float32),
         ex0[order].astype(jnp.float32),
         ey0[order].astype(jnp.float32),
         jnp.maximum(wx[order], 1).astype(jnp.float32),
         jnp.where(jnp.isfinite(proj.depth[order]), proj.depth[order], 0.0),
         order.astype(jnp.float32),
-    ], axis=1)                                    # (N, 6)
-    rows = deco[p_of_slot]                        # (s_max, 6)
+    ]
+    if opacities is not None:
+        # comparisons only (binning gates) — keep them out of the VJP
+        mean_o = jax.lax.stop_gradient(proj.mean2d)[order]
+        conic_o = jax.lax.stop_gradient(proj.conic)[order]
+        op_o = jax.lax.stop_gradient(opacities)[order].astype(jnp.float32)
+        # alpha >= cutoff  <=>  sigma <= log(op / cutoff) =: q_cut
+        q_cut = jnp.log(jnp.maximum(op_o, 1e-12) / ALPHA_CUTOFF)
+        cols += [mean_o[:, 0], mean_o[:, 1], conic_o[:, 0], conic_o[:, 1],
+                 conic_o[:, 2], q_cut]
+    deco = jnp.stack(cols, axis=1)                # (N, 6 or 12)
+    rows = deco[p_of_slot]                        # (s_max, ...)
 
     j = jnp.arange(s_max, dtype=jnp.int32)
     l = j - rows[:, 0].astype(jnp.int32)
@@ -140,22 +188,43 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
     ty = rows[:, 2].astype(jnp.int32) + l // w_i
     tx = rows[:, 1].astype(jnp.int32) + l % w_i
     ok = j < total
+    if opacities is not None:
+        # EXACT per-tile cull: if the minimum sigma over this instance's
+        # tile rect exceeds the gaussian's cutoff level, every pixel of the
+        # tile gets alpha < ALPHA_CUTOFF and the compositors zero it —
+        # dropping the instance cannot change the image. Corner tiles of a
+        # splat's bounding box commonly fail this test (the ellipse misses
+        # the rect), so crowded tiles shed provably-dead instances before
+        # the capacity truncation.
+        ts_f = jnp.float32(tile_size)
+        x0 = tx.astype(jnp.float32) * ts_f
+        y0 = ty.astype(jnp.float32) * ts_f
+        min_sig = _rect_min_sigma(rows[:, 6], rows[:, 7], rows[:, 8],
+                                  rows[:, 9], rows[:, 10],
+                                  x0, y0, x0 + ts_f, y0 + ts_f)
+        ok = ok & (min_sig <= rows[:, 11])
     tile_id = jnp.where(ok, ty * grid_w + tx,
                         grid_w * grid_h).astype(jnp.int32)
     return tile_id, rows[:, 4], rows[:, 5].astype(jnp.int32)
 
 
-def default_instance_budget(n: int, factor: int = 8) -> int:
+def default_instance_budget(n: int, factor: int = 6) -> int:
     """Static instance-budget heuristic: trained pixel-aligned scenes need
     ~1.5-3 instances/gaussian; the factor covers big-splat tails.
 
     Measured on the trained-statistics scene at 512^2/524k (the bench's
-    realistic-regime datapoint, needing 7.26 instances/gaussian): factor 6
-    drops 17% of instances -> 51.8 dB vs the exact compositor; 7 -> 70.8 dB;
-    8 -> 120.9 dB (float-exact — the budget never binds, and at full budget
-    even tile_capacity 512 is exact on that scene). The binning/sort cost
-    and buffers scale linearly with the factor, compositing cost does not
-    (it is tile_capacity-bound), so 8 buys exactness for ~33% more sort."""
+    realistic-regime datapoint): with the ISOTROPIC bounding radius the
+    scene needed 7.26 instances/gaussian (factor 6 dropped 17% of
+    instances -> 51.8 dB vs the exact compositor; 8 -> 120.9 dB,
+    never-binding). The per-axis AABB extents (``Projected.rx/ry``) cut the
+    bbox cover to 5.09 instances/gaussian, so factor 6 is never-binding
+    again (117.3 dB = float-exact at tile capacities 1024 AND 512) at 25%
+    less sort than the old 8x budget; the per-tile exact cull then drops
+    live instances further to 4.15/gaussian (faster count-bounded
+    compositing; budget sizing keys off the PRE-cull bbox cover, which is
+    what the slot assignment uses). The binning/sort cost and buffers scale
+    linearly with the factor, compositing cost does not (it is
+    tile_capacity- and count-bound)."""
     return max(factor * n, 4096)
 
 
