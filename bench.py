@@ -303,6 +303,13 @@ def bench_train_step(pipe, *, batch_size=1, num_views=8):
         out["train_step_tflops"] = round(flops / 1e12, 2)
         if peak:
             out["train_mfu"] = round(flops / dt / peak, 4)
+    # donate=True invalidated the ORIGINAL pipe.mvldm_params buffers at the
+    # first step (train.py:435 fixed the same hazard for frozen text params);
+    # hand the live final-state tree back so a later bench_train_step call
+    # (the bs2 datapoint) or any post-bench pipeline use sees valid arrays.
+    # A deep pre-copy instead would transiently double flagship params on
+    # the 16 GB chip, which is exactly what donation is avoiding here.
+    pipe.mvldm_params = state.params
     return out
 
 

@@ -84,14 +84,7 @@ def crop_resize_normalize(img: np.ndarray, size: int,
     ``tools/bench_loader.py``)."""
     if intrinsics is not None:
         h, w = img.shape[:2]
-        s = min(h, w)
-        top, left = (h - s) // 2, (w - s) // 2
-        fx, fy, cx, cy = intrinsics
-        scale = size / s
-        intrinsics = np.asarray([
-            fx * scale, fy * scale,
-            (cx - left) * scale, (cy - top) * scale,
-        ], np.float32)
+        intrinsics = _adjust_intrinsics(intrinsics, h, w, size)
     from .. import native
 
     # native path falls back internally to PIL+numpy when the lib is absent

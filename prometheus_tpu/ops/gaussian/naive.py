@@ -48,7 +48,8 @@ def composite_exact_pixels(
 
     mean2d = take(proj.mean2d)
     conic = take(proj.conic)
-    depth = jnp.where(jnp.isfinite(take(proj.depth)), take(proj.depth), 0.0)
+    d_sorted = take(proj.depth)
+    depth = jnp.where(jnp.isfinite(d_sorted), d_sorted, 0.0)
     cols = take(colors)
     opac = take(opacities)
 

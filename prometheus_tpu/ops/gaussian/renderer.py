@@ -180,12 +180,9 @@ def render_gaussians_tile_sharded(
     bg = jnp.asarray(DEFAULT_BACKGROUND if bg_color is None else bg_color,
                      jnp.float32)
 
-    try:
-        from jax import shard_map  # jax >= 0.8
-        _check = {"check_vma": False}
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-        _check = {"check_rep": False}
+    from ...parallel.mesh import shard_map_compat
+
+    shard_map, _check = shard_map_compat()
     from jax.sharding import PartitionSpec as P
 
     def run(cameras, xyz, colors, opac, scales, rotations):

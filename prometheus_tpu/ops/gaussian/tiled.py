@@ -131,8 +131,11 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
     n = proj.mean2d.shape[0]
     # the packed decode rows below carry slot starts / gaussian indices in
     # f32, exact only below 2^24 — enforce it statically rather than corrupt
-    # the decode silently on a >2.8M-gaussian scene
-    assert s_max < (1 << 24) and n < (1 << 24), (
+    # the decode silently on a >2.8M-gaussian scene (the 2^10 headroom keeps
+    # the f32 prefix-sum dead-classification below exact: beyond 2^24 a
+    # rounded prefix can sag by ~an ulp (2) minus a max_tiles cover (<=2^10),
+    # and must still compare >= s_max)
+    assert s_max < (1 << 24) - (1 << 11) and n < (1 << 24), (
         f"instance budget {s_max} / N {n} exceed f32-exact integer range; "
         "shrink the scene or widen the decode dtype")
     ex0, ey0, wx, wy = _clamped_windows(proj, tile_size, grid_w, grid_h,
@@ -147,16 +150,24 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
                                  jnp.arange(n, dtype=jnp.int32)), num_keys=1)
 
     cover_o = cover[order]
-    ends = jnp.cumsum(cover_o)
-    starts = ends - cover_o                       # exclusive prefix
-    total = ends[-1]
+    # f32 prefix sums, NOT int32: at the (32, 32) window clamp a cover sum
+    # of 2^31 is only ~2.1M gaussians, and an int32 cumsum WRAPS there —
+    # wrapped starts land back inside [0, s_max) and silently corrupt the
+    # scatter. f32 sums of integers are exact below 2^24 (every live start
+    # is — s_max is asserted under it) and stay >= 2^24 - ulp beyond, where
+    # the only thing that matters is the ">= s_max, dead" classification.
+    ends = jnp.cumsum(cover_o.astype(jnp.float32))
+    starts = ends - cover_o.astype(jnp.float32)   # exclusive prefix
+    total = jnp.minimum(ends[-1], jnp.float32(s_max)).astype(jnp.int32)
 
     # slot j -> position p in the ordered layout: scatter each covered
     # gaussian's position at its range start, then a running max fills the
     # ranges (later positions win ties from zero-cover predecessors).
     pos = jnp.arange(n, dtype=jnp.int32)
+    alive = (cover_o > 0) & (starts < s_max)
+    starts_i = jnp.where(alive, starts, jnp.float32(s_max)).astype(jnp.int32)
     marks = jnp.zeros((s_max,), jnp.int32).at[
-        jnp.where(cover_o > 0, starts, s_max)].max(pos, mode="drop")
+        jnp.where(alive, starts_i, s_max)].max(pos, mode="drop")
     p_of_slot = jax.lax.associative_scan(jnp.maximum, marks)
 
     # pack per-position decode data once -> ONE s_max-row gather (all
@@ -244,7 +255,8 @@ def tile_overflow_stats(proj: Projected, tile_size: int, grid_w: int,
     cover = jnp.where(
         valid,
         jnp.minimum(ny, max_tiles[0]) * jnp.minimum(nx, max_tiles[1]), 0)
-    total = jnp.sum(cover.astype(jnp.int32))   # < 2^31 at any sane density
+    # f32 sum: an int32 total wraps at ~2.1M gaussians x the (32,32) clamp
+    total = jnp.sum(cover.astype(jnp.float32))
     if s_max is None:
         s_max = default_instance_budget(int(proj.mean2d.shape[0]))
     return {
@@ -252,7 +264,7 @@ def tile_overflow_stats(proj: Projected, tile_size: int, grid_w: int,
         "n_window_clamped": jnp.sum(clamped.astype(jnp.int32)),
         "instances_needed": total,
         "instance_budget": jnp.int32(s_max),
-        "instances_over_budget": jnp.maximum(total - s_max, 0),
+        "instances_over_budget": jnp.maximum(total - s_max, 0.0),
         "max_cover_y": jnp.max(jnp.where(valid, ny, 0)),
         "max_cover_x": jnp.max(jnp.where(valid, nx, 0)),
     }

@@ -158,3 +158,17 @@ def is_main_process() -> bool:
     """Rank-zero predicate (the reference used a wandb hack;
     ``distributed_utils.py:1-3``)."""
     return jax.process_index() == 0
+
+
+def shard_map_compat():
+    """``(shard_map, check_kwargs)`` across jax versions — jax >= 0.8 exports
+    ``jax.shard_map`` with ``check_vma``; older versions use the
+    experimental module with ``check_rep``. One helper so the version shim
+    lives in exactly one place (call sites: view-sharded sampler/decoder,
+    SP training loss, tile-sharded renderer)."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+        return shard_map, {"check_vma": False}
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+        return shard_map, {"check_rep": False}

@@ -143,6 +143,15 @@ class PrometheusPipeline:
             raise ValueError("view_shard_mesh is not supported together with "
                              "use_3d_mode_every_m_steps (3D-mode re-render "
                              "is not view-sharded)")
+        if use_3d_mode_every_m_steps > 0 and (
+                sampler != "euler" or cfg_interval_frac is not None):
+            # fail loudly rather than silently running Euler/full-CFG (the
+            # 3D-mode loop interleaves renders with the denoise schedule and
+            # supports only the reference's Euler ladder)
+            raise ValueError("use_3d_mode_every_m_steps supports only "
+                             "sampler='euler' with full-interval CFG "
+                             f"(got sampler={sampler!r}, "
+                             f"cfg_interval_frac={cfg_interval_frac!r})")
         if use_3d_mode_every_m_steps > 0:
             # render-consistent resampling every m steps (reference
             # mv_ldm_system.py:798-815); needs the stage-1 decoder in the loop
@@ -354,12 +363,9 @@ class PrometheusPipeline:
         Returns ``(images_pred, depths_pred, gaussians, images_gs,
         depths_gs, masks_gs)`` with view-major layouts identical to the
         unsharded path."""
-        try:
-            from jax import shard_map  # jax >= 0.8
-            _check = {"check_vma": False}
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
-            _check = {"check_rep": False}
+        from .parallel.mesh import shard_map_compat
+
+        shard_map, _check = shard_map_compat()
         from jax.sharding import PartitionSpec as P
 
         B, N = cameras.shape[:2]
@@ -444,12 +450,9 @@ class PrometheusPipeline:
         cams = sample_from_dense_cameras(dense_cameras[:1], t)  # (1, T, 18)
         backend = self._backend()
         if mesh is not None:
-            try:
-                from jax import shard_map  # jax >= 0.8
-                _check = {"check_vma": False}
-            except ImportError:  # pragma: no cover - older jax
-                from jax.experimental.shard_map import shard_map
-                _check = {"check_rep": False}
+            from .parallel.mesh import shard_map_compat
+
+            shard_map, _check = shard_map_compat()
             from jax.sharding import PartitionSpec as P
 
             # pad T up to a device-count multiple (repeat the last camera)

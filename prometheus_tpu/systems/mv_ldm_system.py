@@ -323,12 +323,9 @@ class MVLDMSystem:
         LATENCY scaling path (vs ``serve.py``'s prompt-parallel THROUGHPUT
         sharding), riding ICI with one (K, V) all-gather per 3D site.
         """
-        try:
-            from jax import shard_map  # jax >= 0.8
-            _check = {"check_vma": False}
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
-            _check = {"check_rep": False}
+        from ..parallel.mesh import shard_map_compat
+
+        shard_map, _check = shard_map_compat()
         from jax.sharding import PartitionSpec as P
 
         B, N = cameras.shape[:2]
@@ -649,12 +646,9 @@ class MVLDMSystem:
         training that a single device cannot hold. The reference has no
         equivalent (its DDP replicates the full view set per GPU,
         ``/root/reference/train.py:87-92``)."""
-        try:
-            from jax import shard_map  # jax >= 0.8
-            _check = {"check_vma": False}
-        except ImportError:  # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
-            _check = {"check_rep": False}
+        from ..parallel.mesh import shard_map_compat
+
+        shard_map, _check = shard_map_compat()
         from jax.sharding import PartitionSpec as P
 
         N = batch["images_mv"].shape[1]

@@ -351,6 +351,12 @@ def main():
     from inference import build_pipeline
     pipe = build_pipeline(args)      # --ckpt restore or random init
     key = jax.random.PRNGKey(0)
+    sv = bool(args.shard_views) and n_dev > 1
+    if args.shard_views and n_dev > 1 and args.num_views % n_dev:
+        raise SystemExit(f"--shard_views needs num_views ({args.num_views}) "
+                         f"divisible by the mesh size ({n_dev})")
+    if sv:
+        args.batch_size = 1          # latency mode: one scene at a time
     bs = min(args.batch_size, len(prompts)) if prompts else args.batch_size
     compiled_sample = None
     if args.aot_dir and n_dev > 1:
@@ -389,14 +395,14 @@ def main():
                    compiled_sample=compiled_sample, mesh=mesh)
         return
 
-    # warm-up on the first batch size
+    # warm-up on the first batch size (view-sharded in latency mode)
     t0 = time.time()
     out = generate_batch(pipe, prompts[:bs], key, mesh,
                          num_views=args.num_views,
                          num_inference_steps=args.num_steps,
                          render_size=args.render_size,
                          image_size=pipe.mvldm.model.image_size,
-                         compiled_sample=compiled_sample)
+                         compiled_sample=compiled_sample, shard_views=sv)
     device_sync(out["images_gs_render"])
     warm = time.time() - t0
 
@@ -412,7 +418,7 @@ def main():
                              num_inference_steps=args.num_steps,
                              render_size=args.render_size,
                              image_size=pipe.mvldm.model.image_size,
-                             compiled_sample=compiled_sample)
+                             compiled_sample=compiled_sample, shard_views=sv)
         device_sync(out["images_gs_render"])
         done += n_real
         if args.export_dir:

@@ -159,3 +159,50 @@ def test_http_endpoint(tiny_pipeline_srv, tmp_path):
     except urllib.error.HTTPError as e:
         assert e.code == 404
     holder["srv"].shutdown()
+
+
+def test_cli_batch_path_honors_shard_views(monkeypatch, tmp_path):
+    """Regression: --shard_views was parsed but never reached the batch-mode
+    generate_batch calls (prompt-sharded silently). Mocks the pipeline build
+    and generate_batch; asserts latency mode forces batch_size 1 and passes
+    shard_views=True to warm-up AND loop calls."""
+    import sys
+
+    import serve
+
+    calls = []
+
+    def fake_generate_batch(pipe, prompts, key, mesh=None, **kw):
+        calls.append({"prompts": list(prompts), **kw})
+        img = np.zeros((len(prompts), 4, 3, 8, 8), np.float32)
+        return {"images_gs_render": jnp.asarray(img),
+                "gaussians": tuple(jnp.zeros((len(prompts), 4, d))
+                                   for d in (3, 3, 1, 3, 4))}
+
+    class FakeModel:
+        image_size = 32
+        latent_size = 16
+
+    class FakeMV:
+        model = FakeModel()
+
+    class FakePipe:
+        mvldm = FakeMV()
+
+    monkeypatch.setattr(serve, "generate_batch", fake_generate_batch)
+    import inference
+    monkeypatch.setattr(inference, "build_pipeline", lambda a: FakePipe())
+    pf = tmp_path / "p.txt"
+    pf.write_text("one\ntwo\nthree\n")
+    n_dev = jax.device_count()
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", "--prompt_file", str(pf), "--batch_size", "2",
+        "--shard_views", "--num_views", str(2 * n_dev), "--num_steps", "2"])
+    serve.main()
+
+    assert len(calls) >= 2                       # warm-up + >=1 batch
+    multi = jax.device_count() > 1
+    for c in calls:
+        assert c.get("shard_views") is multi     # sv only on a real mesh
+        if multi:
+            assert len(c["prompts"]) == 1        # latency mode: bs forced 1
