@@ -35,7 +35,9 @@ def parse_args():
     p.add_argument("--max_prompts", type=int, default=-1)
     p.add_argument("--traj_idx", type=int, default=0,
                    help="candidate index for (C, N, 18) trajectory files")
-    p.add_argument("--compute_metrics", action="store_true", default=True)
+    p.add_argument("--compute_metrics", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="per-prompt proxy metrics (--no-compute_metrics disables)")
     p.add_argument("--refine", type=str, default=None,
                    choices=["sds", "mv_sds"],
                    help="SDS++ refinement before export (reference "
@@ -165,12 +167,13 @@ def main():
     summary = {
         "num_prompts": len(all_metrics),
         "metrics_are_proxies": bool(args.compute_metrics),
-        "brisque_proxy_mean": float(np.mean([m.get("brisque_proxy", np.nan)
-                                             for m in all_metrics])),
-        "niqe_proxy_mean": float(np.mean([m.get("niqe_proxy", np.nan)
-                                          for m in all_metrics])),
         "per_prompt": all_metrics,
     }
+    if args.compute_metrics:
+        summary["brisque_proxy_mean"] = float(
+            np.mean([m.get("brisque_proxy", np.nan) for m in all_metrics]))
+        summary["niqe_proxy_mean"] = float(
+            np.mean([m.get("niqe_proxy", np.nan) for m in all_metrics]))
     with open(os.path.join(args.export_dir, "metrics.json"), "w") as fp:
         json.dump(summary, fp, indent=2)
     print(json.dumps({k: v for k, v in summary.items() if k != "per_prompt"}))

@@ -94,6 +94,10 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="timed repeats per path; the MEDIAN is reported "
+                         "(host-load variance made single-shot numbers "
+                         "irreproducible across runs)")
     ap.add_argument("--root", type=str, default=None,
                     help="reuse an existing synthetic dataset dir")
     args = ap.parse_args()
@@ -131,8 +135,12 @@ def main():
         # warmup (JPEG cache, thread pool spin-up)
         loader = make_loader()
         run_epochs(loader, args.views, min(3.0, args.seconds / 4))
-        results[f"images_per_s_{label}"] = round(
-            run_epochs(make_loader(), args.views, args.seconds), 1)
+        reps = sorted(
+            round(run_epochs(make_loader(), args.views,
+                             args.seconds / max(1, args.repeats)), 1)
+            for _ in range(max(1, args.repeats)))
+        results[f"images_per_s_{label}"] = reps[len(reps) // 2]
+        results[f"images_per_s_{label}_runs"] = reps
     os.environ.pop("PROMETHEUS_NATIVE", None)
 
     if results.get("images_per_s_native") and results.get("images_per_s_python"):
