@@ -164,29 +164,142 @@ def aot_sampler(pipe, path: str, *, batch_size: int, num_views: int,
 
 def serve_http(pipe, port: int, *, export_dir: str, num_views: int,
                num_steps: int, render_size: int, compiled_sample=None,
-               mesh=None, host: str = "127.0.0.1", started=None):
-    """Minimal stdlib HTTP endpoint over the warm process (no reference
-    analog — its inference is offline CLI only).
+               mesh=None, host: str = "127.0.0.1", started=None,
+               queue_size: int = 16, batch_window_s: float = 0.05,
+               max_batch: int | None = None):
+    """Stdlib HTTP endpoint over the warm process (no reference analog —
+    its inference is offline CLI only).
 
-    - ``GET  /healthz``  -> {"status": "ok"}
+    - ``GET  /healthz``  -> {"status": "ok", "queued": N}
     - ``POST /generate`` JSON {"prompt": str, "seed"?: int, "num_steps"?,
       "num_views"?, "render_size"?} -> exports splat/ply under
       ``export_dir/<id>`` and returns the paths + wall time.
 
-    Requests are handled serially — one scene occupies the chip; queueing is
-    the correct backpressure for single-chip serving. Changing num_steps /
-    num_views / render_size off the warmed defaults recompiles (seconds on a
-    cached shape, minutes cold): keep hot-path requests on the defaults.
+    Concurrency model: handlers enqueue into a BOUNDED queue (503 when full
+    — explicit backpressure instead of unbounded latency) and one dispatcher
+    thread owns the chip. Under load it micro-batches: it drains up to
+    ``max_batch`` queued requests within ``batch_window_s``, groups them by
+    (steps, views, render_size), pads each default-shape group to
+    ``max_batch`` prompts, and runs ONE SPMD ``generate_batch`` sharded over
+    the mesh's ``data`` axis — a v5e-8 serves 8 prompts per sampler run. A
+    lone request on a multi-chip mesh instead shards its VIEWS (latency
+    mode). ``max_batch`` defaults to the mesh size; 1 disables batching
+    (single-chip behavior unchanged). Off-default shapes recompile and run
+    solo: keep hot-path requests on the defaults.
+
+    Determinism: a request's ``seed`` is honored exactly when it runs solo;
+    inside a micro-batch the scene key is folded from (batch key, slot), so
+    identical batches reproduce but a given seed is not portable across
+    load patterns.
     """
+    import queue as queue_mod
     import threading
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     import jax
 
     from prometheus_tpu.utils.platform import device_sync
 
-    lock = threading.Lock()
-    counter = {"n": 0}
+    n_dev = mesh.shape["data"] if mesh is not None else 1
+    if max_batch is None:
+        max_batch = n_dev
+    max_batch = max(1, max_batch)
+    if n_dev > 1 and max_batch % n_dev:
+        # padded micro-batches shard over the data axis: keep them divisible
+        max_batch += n_dev - max_batch % n_dev
+    jobs: "queue_mod.Queue[dict]" = queue_mod.Queue(maxsize=queue_size)
+    counter = {"n": 0, "runs": 0}
+    counter_lock = threading.Lock()
+
+    def run_group(group: list[dict]):
+        """One generate_batch over same-shape jobs; completes their events."""
+        steps, views, rsize = group[0]["shape"]
+        defaults = (steps, views, rsize) == (num_steps, num_views,
+                                             render_size)
+        solo = len(group) == 1
+        # lone request on a multi-chip mesh: shard its views (latency mode);
+        # a full group shards prompts (throughput mode)
+        sv = solo and n_dev > 1 and views % n_dev == 0
+        prompts = [j["prompt"] for j in group]
+        n_real = len(prompts)
+        if defaults and not sv and max_batch > 1:
+            prompts = prompts + [""] * (max_batch - n_real)  # one jitted shape
+        key = jax.random.PRNGKey(group[0]["seed"])
+        if not solo:
+            key = jax.random.fold_in(key, n_real)
+        aot = compiled_sample if (defaults and not sv
+                                  and len(prompts) == max_batch == 1) else None
+        t0 = time.time()
+        out = generate_batch(
+            pipe, prompts, key,
+            mesh if (sv or len(prompts) > 1) else None,
+            num_views=views, num_inference_steps=steps, render_size=rsize,
+            image_size=pipe.mvldm.model.image_size,
+            latent_hw=pipe.mvldm.model.latent_size,
+            compiled_sample=aot, shard_views=sv)
+        device_sync(out["images_gs_render"])
+        dt = time.time() - t0
+        counter["runs"] += 1
+        import numpy as np
+
+        from prometheus_tpu.utils import export_gaussians
+
+        g = tuple(np.asarray(x) for x in out["gaussians"])
+        for b, job in enumerate(group):
+            out_dir = os.path.join(export_dir, f"{job['id']:05d}")
+            os.makedirs(out_dir, exist_ok=True)
+            base = os.path.join(out_dir, "scene")
+            export_gaussians(base, tuple(x[b : b + 1] for x in g))
+            job["result"] = {"id": job["id"], "prompt": job["prompt"],
+                             "seconds": round(dt, 2),
+                             "batched_with": n_real - 1,
+                             "paths": {"ply": base + ".ply",
+                                       "splat": base + ".splat"}}
+            job["done"].set()
+
+    def dispatcher():
+        while True:
+            job = jobs.get()
+            if job is None:
+                return
+            batch = [job]
+            if max_batch > 1:
+                deadline = time.time() + batch_window_s
+                while len(batch) < max_batch:
+                    left = deadline - time.time()
+                    if left <= 0:
+                        break
+                    try:
+                        nxt = jobs.get(timeout=left)
+                    except queue_mod.Empty:
+                        break
+                    if nxt is None:
+                        jobs.put(None)  # re-post shutdown for the outer loop
+                        break
+                    batch.append(nxt)
+            # group by shape; each group is one compiled program. Only the
+            # warmed default shape micro-batches (padded to max_batch, which
+            # divides the mesh); off-default requests run solo
+            default_shape = (num_steps, num_views, render_size)
+            groups: list[list[dict]] = []
+            default_group: list[dict] = []
+            for j in batch:
+                if j["shape"] == default_shape:
+                    default_group.append(j)
+                else:
+                    groups.append([j])
+            if default_group:
+                groups.insert(0, default_group)
+            for group in groups:
+                try:
+                    run_group(group)
+                except Exception as e:  # noqa: BLE001 — report, keep serving
+                    for j in group:
+                        j["error"] = f"{type(e).__name__}: {e}"
+                        j["done"].set()
+
+    worker = threading.Thread(target=dispatcher, daemon=True)
+    worker.start()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # route to stdout, not stderr spam
@@ -202,7 +315,7 @@ def serve_http(pipe, port: int, *, export_dir: str, num_views: int,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok"})
+                self._json(200, {"status": "ok", "queued": jobs.qsize()})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -217,51 +330,38 @@ def serve_http(pipe, port: int, *, export_dir: str, num_views: int,
             except Exception as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
-            steps = int(req.get("num_steps", num_steps))
-            views = int(req.get("num_views", num_views))
-            rsize = int(req.get("render_size", render_size))
-            # the AOT executable is shape-specific: only the warmed defaults
-            # can use it
-            aot = compiled_sample if (steps, views) == (num_steps, num_views) \
-                else None
-            # one scene per request: on a multi-chip mesh, shard the VIEWS
-            # over it (latency mode) — a batch of 1 can't shard over prompts
-            n_dev = mesh.shape["data"] if mesh is not None else 1
-            sv = n_dev > 1 and views % n_dev == 0
-            key = jax.random.PRNGKey(int(req.get("seed", 0)))
-            with lock:
+            import threading as _t
+            with counter_lock:
                 rid = counter["n"]
                 counter["n"] += 1
-                t0 = time.time()
-                out = generate_batch(
-                    pipe, [prompt], key, mesh if sv else None,
-                    num_views=views,
-                    num_inference_steps=steps, render_size=rsize,
-                    image_size=pipe.mvldm.model.image_size,
-                    latent_hw=pipe.mvldm.model.latent_size,
-                    compiled_sample=aot, shard_views=sv)
-                device_sync(out["images_gs_render"])
-                dt = time.time() - t0
-                import numpy as np
+            job = {"id": rid, "prompt": prompt,
+                   "seed": int(req.get("seed", 0)),
+                   "shape": (int(req.get("num_steps", num_steps)),
+                             int(req.get("num_views", num_views)),
+                             int(req.get("render_size", render_size))),
+                   "done": _t.Event(), "result": None, "error": None}
+            try:
+                jobs.put_nowait(job)
+            except queue_mod.Full:
+                self._json(503, {"error": "queue full", "queued": queue_size})
+                return
+            job["done"].wait()
+            if job["error"] is not None:
+                self._json(500, {"error": job["error"]})
+            else:
+                self._json(200, job["result"])
 
-                from prometheus_tpu.utils import export_gaussians
-
-                out_dir = os.path.join(export_dir, f"{rid:05d}")
-                os.makedirs(out_dir, exist_ok=True)
-                g = tuple(np.asarray(x)[:1] for x in out["gaussians"])
-                base = os.path.join(out_dir, "scene")
-                export_gaussians(base, g)
-            self._json(200, {"id": rid, "prompt": prompt,
-                             "seconds": round(dt, 2),
-                             "paths": {"ply": base + ".ply",
-                                       "splat": base + ".splat"}})
-
-    srv = HTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv._dispatch_stats = counter  # introspection for tests
     print(f"[serve] HTTP listening on {host}:{srv.server_address[1]} "
-          f"(POST /generate)")
+          f"(POST /generate; queue {queue_size}, max_batch {max_batch}, "
+          f"window {batch_window_s*1000:.0f} ms)")
     if started is not None:
         started(srv)          # hand the bound server to tests
-    srv.serve_forever()
+    try:
+        srv.serve_forever()
+    finally:
+        jobs.put(None)
 
 
 def main():
@@ -287,6 +387,14 @@ def main():
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
                     help="serve an HTTP JSON API (POST /generate) instead "
                          "of the batch loop; warm-up + AOT apply first")
+    ap.add_argument("--queue_size", type=int, default=16,
+                    help="bounded request queue; overflow returns 503")
+    ap.add_argument("--batch_window_ms", type=float, default=50.0,
+                    help="micro-batching window: wait this long to fill a "
+                         "prompt batch before dispatching")
+    ap.add_argument("--max_batch", type=int, default=None,
+                    help="max prompts per dispatched batch (default: mesh "
+                         "size; 1 disables micro-batching)")
     ap.add_argument("--aot_dir", default=None,
                     help="AOT-persist/reuse the compiled sampler here "
                          "(serialize_executable; shape-specific)")
@@ -376,7 +484,10 @@ def main():
               f"in {time.time()-t0:.1f}s ({aot_path})")
     if args.http is not None:
         # pay init + compile before accepting traffic, through the exact
-        # routing the handler will use (view-sharded on a multi-chip mesh)
+        # routings the dispatcher will use: a lone request view-shards over
+        # a multi-chip mesh; a micro-batch shards max_batch prompts
+        max_batch = args.max_batch if args.max_batch is not None else n_dev
+        max_batch = max(1, max_batch)
         sv = n_dev > 1 and args.num_views % n_dev == 0
         t0 = time.time()
         out = generate_batch(pipe, ["warm-up"], key, mesh if sv else None,
@@ -387,12 +498,23 @@ def main():
                              latent_hw=pipe.mvldm.model.latent_size,
                              compiled_sample=compiled_sample, shard_views=sv)
         device_sync(out["images_gs_render"])
+        if max_batch > 1:
+            out = generate_batch(pipe, ["warm-up"] * max_batch, key, mesh,
+                                 num_views=args.num_views,
+                                 num_inference_steps=args.num_steps,
+                                 render_size=args.render_size,
+                                 image_size=pipe.mvldm.model.image_size,
+                                 latent_hw=pipe.mvldm.model.latent_size)
+            device_sync(out["images_gs_render"])
         print(f"[serve] warm in {time.time()-t0:.1f}s")
         serve_http(pipe, args.http,
                    export_dir=args.export_dir or "serve_out",
                    num_views=args.num_views, num_steps=args.num_steps,
                    render_size=args.render_size,
-                   compiled_sample=compiled_sample, mesh=mesh)
+                   compiled_sample=compiled_sample, mesh=mesh,
+                   queue_size=args.queue_size,
+                   batch_window_s=args.batch_window_ms / 1000.0,
+                   max_batch=args.max_batch)
         return
 
     # warm-up on the first batch size (view-sharded in latency mode)

@@ -161,6 +161,144 @@ def test_http_endpoint(tiny_pipeline_srv, tmp_path):
     holder["srv"].shutdown()
 
 
+def _fake_pipe_and_batch(calls, delay=0.0, gate=None, busy=None):
+    """Mock pipeline + generate_batch for hermetic dispatcher tests."""
+    import time as _time
+
+    def fake_generate_batch(pipe, prompts, key, mesh=None, **kw):
+        if busy is not None:
+            busy.set()
+        if gate is not None:
+            gate.wait(30)
+        elif delay:
+            _time.sleep(delay)
+        calls.append({"prompts": list(prompts), **kw})
+        img = np.zeros((len(prompts), 4, 3, 8, 8), np.float32)
+        return {"images_gs_render": jnp.asarray(img),
+                "gaussians": tuple(jnp.zeros((len(prompts), 4, d))
+                                   for d in (3, 3, 1, 3, 4))}
+
+    class FakeModel:
+        image_size = 32
+        latent_size = 16
+
+    class FakeMV:
+        model = FakeModel()
+
+    class FakePipe:
+        mvldm = FakeMV()
+
+    return FakePipe(), fake_generate_batch
+
+
+def _start_http(pipe, tmp_path, **kw):
+    import threading
+
+    from serve import serve_http
+
+    holder, ready = {}, threading.Event()
+
+    def started(srv):
+        holder["srv"] = srv
+        ready.set()
+
+    th = threading.Thread(
+        target=serve_http, args=(pipe, 0),
+        kwargs=dict(export_dir=str(tmp_path), num_views=2, num_steps=2,
+                    render_size=32, started=started, **kw), daemon=True)
+    th.start()
+    assert ready.wait(30)
+    return holder["srv"]
+
+
+def _post(base, payload, timeout=60):
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{base}/generate", data=_json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return _json.loads(r.read())
+
+
+def test_http_microbatching(monkeypatch, tmp_path):
+    """Concurrent same-shape requests coalesce into fewer dispatches: with
+    max_batch=4 and a generous window, 6 parallel requests run in ~2
+    generate_batch calls, each padded to 4 prompts (the one compiled shape)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import serve
+
+    calls = []
+    pipe, fake = _fake_pipe_and_batch(calls, delay=0.25)
+    monkeypatch.setattr(serve, "generate_batch", fake)
+    srv = _start_http(pipe, tmp_path, max_batch=4, batch_window_s=0.5,
+                      queue_size=16)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with ThreadPoolExecutor(8) as ex:
+            outs = list(ex.map(
+                lambda i: _post(base, {"prompt": f"scene {i}"}), range(6)))
+        assert all(o["seconds"] >= 0 for o in outs)
+        assert {o["id"] for o in outs} == set(range(6))
+        n_runs = srv._dispatch_stats["runs"]
+        assert n_runs < 6, f"no micro-batching: {n_runs} runs for 6 requests"
+        # default-shape batches are padded to max_batch (one compiled shape)
+        batched = [c for c in calls if len(c["prompts"]) > 1]
+        assert batched and all(len(c["prompts"]) == 4 for c in batched)
+        assert any(o["batched_with"] > 0 for o in outs)
+    finally:
+        srv.shutdown()
+
+
+def test_http_queue_backpressure(monkeypatch, tmp_path):
+    """A full bounded queue returns 503 instead of queueing unboundedly."""
+    import threading
+    import urllib.error
+
+    import serve
+
+    calls = []
+    gate, busy = threading.Event(), threading.Event()
+    pipe, fake = _fake_pipe_and_batch(calls, gate=gate, busy=busy)
+    monkeypatch.setattr(serve, "generate_batch", fake)
+    srv = _start_http(pipe, tmp_path, max_batch=1, queue_size=1)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        results = {}
+
+        def fire(i):
+            try:
+                results[i] = _post(base, {"prompt": f"s{i}"})["id"]
+            except urllib.error.HTTPError as e:
+                results[i] = e.code
+
+        t1 = threading.Thread(target=fire, args=(0,))
+        t1.start()
+        assert busy.wait(30)          # dispatcher is inside generate_batch
+        t2 = threading.Thread(target=fire, args=(1,))
+        t2.start()
+        # wait until request 1 occupies the single queue slot
+        import time as _time
+        for _ in range(100):
+            import json as _json
+            import urllib.request
+            with urllib.request.urlopen(f"{base}/healthz", timeout=10) as r:
+                if _json.loads(r.read())["queued"] >= 1:
+                    break
+            _time.sleep(0.05)
+        t3 = threading.Thread(target=fire, args=(2,))
+        t3.start()
+        t3.join(30)
+        assert results.get(2) == 503  # queue full -> backpressure
+        gate.set()                    # release the dispatcher
+        t1.join(30), t2.join(30)
+        assert results[0] == 0 and results[1] == 1
+    finally:
+        srv.shutdown()
+
+
 def test_cli_batch_path_honors_shard_views(monkeypatch, tmp_path):
     """Regression: --shard_views was parsed but never reached the batch-mode
     generate_batch calls (prompt-sharded silently). Mocks the pipeline build
