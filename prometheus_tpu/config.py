@@ -116,6 +116,18 @@ def load_config(root_path: str, overrides: list[str] | None = None) -> Config:
     defaults = root.pop("defaults", {})
     cfg: dict = root
 
+    # Hydra-like group selection: an override whose key names a group (or
+    # the gsdecoder slot) swaps that group's file before composition, e.g.
+    # ``--override global_env=tpu_pod experiment=gsdecoder_exp``.
+    value_overrides = []
+    for ov in overrides or []:
+        k = ov.split("=", 1)[0]
+        if k in GROUPS or k == "gsdecoder":
+            defaults[k] = ov.split("=", 1)[1] or None
+        else:
+            value_overrides.append(ov)
+    overrides = value_overrides
+
     for group, stem in defaults.items():
         if stem is None:
             continue

@@ -54,3 +54,17 @@ def test_overrides():
     assert cfg.training.batch_size == 4
     assert cfg.debug is True
     assert cfg.algorithm.network.image_size == 512
+
+
+def test_group_selection_override():
+    """An override naming a config GROUP swaps that group's file (Hydra-like
+    `global_env=tpu_pod`), composing the pod environment overlay."""
+    cfg = load_config(CONFIG_ROOT, overrides=[
+        "global_env=tpu_pod", "training.batch_size=2"])
+    assert cfg.mesh_axes == ["dcn", "data"]          # pod overlay applied
+    assert cfg.output_dir.startswith("/mnt/")
+    assert cfg.chosen.global_env == "tpu_pod"
+    assert cfg.training.batch_size == 2              # value overrides still work
+    # experiment group swap composes too
+    cfg2 = load_config(CONFIG_ROOT, overrides=["experiment=gsdecoder_exp"])
+    assert cfg2.chosen.experiment == "gsdecoder_exp"
