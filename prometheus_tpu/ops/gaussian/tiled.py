@@ -24,6 +24,7 @@ smooth in all gaussian parameters.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -160,15 +161,30 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
     starts = ends - cover_o.astype(jnp.float32)   # exclusive prefix
     total = jnp.minimum(ends[-1], jnp.float32(s_max)).astype(jnp.int32)
 
-    # slot j -> position p in the ordered layout: scatter each covered
-    # gaussian's position at its range start, then a running max fills the
-    # ranges (later positions win ties from zero-cover predecessors).
+    # slot j -> position p in the ordered layout. Two equivalent decodes,
+    # selectable for on-chip A/B (tools/raster_profile.py) because they
+    # stress different TPU slow paths:
+    #   scan  (default): scatter each covered gaussian's position at its
+    #     range start, then a running max fills the ranges (later positions
+    #     win ties from zero-cover predecessors). The scatter has
+    #     possibly-colliding indices (dead gaussians share the sentinel), a
+    #     documented XLA:TPU slow path.
+    #   bsearch: p = searchsorted(ends, j, 'right') — ends is sorted
+    #     (nondecreasing cumsum), so the owning gaussian of slot j is the
+    #     first p with ends[p] > j; zero-width ranges can never own a slot.
+    #     ~log2(N) gather passes, no scatter.
     pos = jnp.arange(n, dtype=jnp.int32)
-    alive = (cover_o > 0) & (starts < s_max)
-    starts_i = jnp.where(alive, starts, jnp.float32(s_max)).astype(jnp.int32)
-    marks = jnp.zeros((s_max,), jnp.int32).at[
-        jnp.where(alive, starts_i, s_max)].max(pos, mode="drop")
-    p_of_slot = jax.lax.associative_scan(jnp.maximum, marks)
+    if os.environ.get("PROMETHEUS_BIN_DECODE", "scan") == "bsearch":
+        j32 = jnp.arange(s_max, dtype=jnp.float32)
+        p_of_slot = jnp.clip(
+            jnp.searchsorted(ends, j32, side="right"), 0, n - 1
+        ).astype(jnp.int32)
+    else:
+        alive = (cover_o > 0) & (starts < s_max)
+        starts_i = jnp.where(alive, starts, jnp.float32(s_max)).astype(jnp.int32)
+        marks = jnp.zeros((s_max,), jnp.int32).at[
+            jnp.where(alive, starts_i, s_max)].max(pos, mode="drop")
+        p_of_slot = jax.lax.associative_scan(jnp.maximum, marks)
 
     # pack per-position decode data once -> ONE s_max-row gather (all
     # integer-valued columns < 2^24 so f32 carries them exactly); the extra

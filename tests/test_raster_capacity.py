@@ -168,3 +168,38 @@ def test_tile_instances_slot_semantics():
     full = sorted(tiles_of(win[1]))
     assert g1_tiles == full[:2]
     assert 2 not in set(gauss)
+
+
+def test_bin_decode_variants_equivalent(monkeypatch):
+    """The two slot->gaussian decodes in tiled._tile_instances (scatter+scan
+    vs searchsorted over the cumsum; PROMETHEUS_BIN_DECODE) must produce
+    identical instances — they exist only as a TPU perf A/B
+    (tools/raster_profile.py)."""
+    import jax
+
+    from prometheus_tpu.ops.gaussian.projection import Projected
+    from prometheus_tpu.ops.gaussian.tiled import _tile_instances
+
+    ts, gw, gh, size = 16, 8, 8, 128
+    key = jax.random.PRNGKey(3)
+    for trial, n in enumerate([64, 257]):
+        ks = jax.random.split(jax.random.fold_in(key, trial), 5)
+        mean2d = jax.random.uniform(ks[0], (n, 2)) * (size + 40) - 20
+        radius = jax.random.uniform(ks[1], (n,)) * 24
+        proj = Projected(
+            mean2d=mean2d,
+            conic=jnp.tile(jnp.asarray([[0.05, 0.01, 0.08]]), (n, 1)),
+            depth=jax.random.uniform(ks[2], (n,)) * 5 + 0.1,
+            radius=radius,
+            valid=jax.random.uniform(ks[3], (n,)) > 0.2,
+        )
+        op = jax.random.uniform(ks[4], (n,)) * 0.99 + 0.005
+        # exercise both the generous and the cut-mid-range budget regimes
+        for s_max in (8 * n, n // 2):
+            out = {}
+            for mode in ("scan", "bsearch"):
+                monkeypatch.setenv("PROMETHEUS_BIN_DECODE", mode)
+                out[mode] = [np.asarray(a) for a in _tile_instances(
+                    proj, ts, gw, gh, (8, 8), s_max, opacities=op)]
+            for a, b in zip(out["scan"], out["bsearch"]):
+                assert (a == b).all()

@@ -1,0 +1,182 @@
+"""Per-stage rasterizer profile at production density (512^2, 524k splats).
+
+Times each pipeline stage of the tiled/Pallas render as its own jitted
+program — project, binning expansion (both slot-decode variants, the
+PROMETHEUS_BIN_DECODE A/B in ops/gaussian/tiled.py), fused-key sort,
+segment+gather, Pallas compositing kernel — plus both end-to-end backends.
+This is the measurement VERDICT r3 #4 asks for: the r2 trace said the
+render is binning-bound (expand ~16 ms > kernel ~9 ms per view), so the
+win is in the expand/sort stages, and the decode variants stress different
+TPU slow paths (scatter+scan vs searchsorted gathers).
+
+Tunnel-aware timing: per-call sync overhead over the tunneled axon backend
+is ~25 ms — comparable to a whole stage — so each stage is dispatched
+``reps`` times pipelined and synced ONCE at the end (single-core TPU
+execution serializes the reps; CLAUDE.md "Environment gotchas").
+
+    python tools/raster_profile.py [--n 524288] [--size 512] [--reps 20]
+        [--out raster_profile.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(out):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[0:1])
+
+
+def time_stage(fn, args, reps, warmup=2):
+    """Median-of-3 of (reps pipelined dispatches + one sync) / reps."""
+    vals = []
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        _sync(out)
+        vals.append((time.time() - t0) / reps)
+    vals.sort()
+    return vals[1]
+
+
+def main():
+    from prometheus_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()  # the axon plugin ignores the env var
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=524288)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--tile_size", type=int, default=16)
+    ap.add_argument("--capacity", type=int, default=1024)
+    ap.add_argument("--out", default="raster_profile.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from prometheus_tpu.ops.gaussian import tiled
+    from prometheus_tpu.ops.gaussian.pallas_kernel import (
+        composite_tiled_pallas, gather_rows, run_compositor_kernel)
+    from prometheus_tpu.ops.gaussian.projection import project_gaussians
+    from prometheus_tpu.ops.gaussian.quality import (_camera_setup,
+                                                     make_trained_stats_scene)
+    from prometheus_tpu.utils import get_random_cameras
+
+    h = w = args.size
+    ts = args.tile_size
+    grid_h, grid_w = h // ts, w // ts
+    n_tiles = grid_h * grid_w
+    max_tiles = (32, 32)
+
+    # Pallas stages need a real TPU; on CPU (smoke runs) use interpret mode
+    interpret = jax.devices()[0].platform != "tpu"
+
+    cams = get_random_cameras(jax.random.PRNGKey(0), 1, size=h)
+    scene = make_trained_stats_scene(jax.random.PRNGKey(5), cams,
+                                     n_gaussians=args.n)
+    xyz, features, opacity, scales, rotations = (a[0] for a in scene)
+    colors, opac = features[:, 0, :], opacity[..., 0]
+    w2c, fx, fy, cx, cy = _camera_setup(cams[0], h, w)
+    s_max = tiled.default_instance_budget(args.n)
+
+    timings = {}
+
+    # --- stage: projection ---
+    proj_fn = jax.jit(lambda: project_gaussians(
+        xyz, scales, rotations, w2c, fx, fy, cx, cy, h, w, opacities=opac))
+    timings["project_ms"] = time_stage(proj_fn, (), args.reps) * 1e3
+    proj = jax.block_until_ready(proj_fn())
+
+    # --- stage: binning expansion, both slot decodes ---
+    # PROMETHEUS_BIN_DECODE is read at TRACE time, so each variant needs its
+    # own traced program; jitting through a distinct wrapper per mode keeps
+    # the two cache entries separate.
+    expand = {}
+    for mode in ("scan", "bsearch"):
+        os.environ["PROMETHEUS_BIN_DECODE"] = mode
+
+        def _expand(p, o, _mode=mode):   # _mode: distinct trace per variant
+            return tiled._tile_instances(p, ts, grid_w, grid_h, max_tiles,
+                                         s_max, opacities=o)
+
+        fn = jax.jit(_expand)
+        timings[f"expand_{mode}_ms"] = time_stage(
+            fn, (proj, opac), args.reps) * 1e3
+        expand[mode] = jax.block_until_ready(fn(proj, opac))
+    os.environ.pop("PROMETHEUS_BIN_DECODE", None)
+    tile_id, depth_key, gauss_idx = expand["scan"]
+
+    # --- stage: fused-key sort ---
+    sort_fn = jax.jit(
+        lambda t, d, g: tiled.sort_tile_instances(t, d, g, n_tiles))
+    timings["sort_ms"] = time_stage(
+        sort_fn, (tile_id, depth_key, gauss_idx), args.reps) * 1e3
+    sorted_tile, sorted_gauss = jax.block_until_ready(
+        sort_fn(tile_id, depth_key, gauss_idx))
+
+    # --- stage: per-tile segments + worklist gather ---
+    def _seg_gather(st, sg, p):
+        r = jnp.arange(n_tiles, dtype=jnp.int32)
+        starts = jnp.searchsorted(st, r).astype(jnp.int32)
+        ends = jnp.searchsorted(st, r, side="right")
+        counts = jnp.minimum(ends - starts, args.capacity).astype(jnp.int32)
+        offs = jnp.arange(args.capacity, dtype=jnp.int32)
+        in_seg = offs[None, :] < counts[:, None]
+        sg_pad = jnp.concatenate(
+            [sg, jnp.zeros((args.capacity,), sg.dtype)])
+        g = jax.vmap(lambda s: jax.lax.dynamic_slice(
+            sg_pad, (s,), (args.capacity,)))(starts)
+        return gather_rows(p, colors, opac, g, in_seg), counts
+
+    seg_fn = jax.jit(_seg_gather)
+    timings["segments_gather_ms"] = time_stage(
+        seg_fn, (sorted_tile, sorted_gauss, proj), args.reps) * 1e3
+    data, counts = jax.block_until_ready(
+        seg_fn(sorted_tile, sorted_gauss, proj))
+
+    # --- stage: Pallas compositing kernel ---
+    kern_fn = jax.jit(lambda d, c: run_compositor_kernel(
+        d, c, h, w, tile_size=ts, capacity=args.capacity,
+        interpret=interpret))
+    timings["kernel_ms"] = time_stage(kern_fn, (data, counts), args.reps) * 1e3
+
+    # --- end-to-end, both backends ---
+    e2e_pallas = jax.jit(lambda p, o: composite_tiled_pallas(
+        p, colors, o, h, w, tile_size=ts, capacity=args.capacity,
+        max_tiles=max_tiles, s_max=s_max, interpret=interpret))
+    timings["e2e_pallas_ms"] = time_stage(
+        e2e_pallas, (proj, opac), args.reps) * 1e3
+    e2e_xla = jax.jit(lambda p, o: tiled.composite_tiled(
+        p, colors, o, h, w, tile_size=ts, tile_capacity=args.capacity,
+        max_tiles_y=max_tiles[0], max_tiles_x=max_tiles[1], s_max=s_max))
+    timings["e2e_xla_ms"] = time_stage(e2e_xla, (proj, opac), args.reps) * 1e3
+
+    dev = jax.devices()[0].platform
+    result = {
+        "platform": dev, "n_gaussians": args.n, "size": args.size,
+        "s_max": int(s_max), "capacity": args.capacity, "reps": args.reps,
+        "timings_ms": {k: round(v, 3) for k, v in timings.items()},
+        "fps_pallas": round(1e3 / timings["e2e_pallas_ms"], 1),
+        "decode_winner": ("bsearch" if timings["expand_bsearch_ms"]
+                          < timings["expand_scan_ms"] else "scan"),
+    }
+    with open(args.out, "w") as fp:
+        json.dump(result, fp, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
