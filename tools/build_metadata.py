@@ -76,49 +76,197 @@ def re10k_index(root: str):
     print(f"[metadata] {len(index)} scenes -> {out}")
 
 
-def colmap_to_annotation(root: str, out: str):
-    """Convert COLMAP text exports (cameras.txt/images.txt) to annotations."""
-    cams = {}
-    with open(os.path.join(root, "cameras.txt")) as fp:
-        for line in fp:
-            if line.startswith("#") or not line.strip():
-                continue
-            parts = line.split()
-            cam_id, model = int(parts[0]), parts[1]
-            p = list(map(float, parts[4:]))
-            if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
-                fx = fy = p[0]
-                cx, cy = p[1], p[2]
-            else:  # PINHOLE / OPENCV
-                fx, fy, cx, cy = p[0], p[1], p[2], p[3]
-            cams[cam_id] = [fx, fy, cx, cy]
+# COLMAP camera-model id -> (name, param count); binary files store the id
+# (github.com/colmap/colmap src/colmap/sensor/models.h — public format spec)
+_COLMAP_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5), 4: ("OPENCV", 8), 5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12), 7: ("FOV", 5), 8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5), 10: ("THIN_PRISM_FISHEYE", 12),
+}
 
+
+def _intrinsics_of(model: str, p: list[float]) -> list[float]:
+    if model.startswith("SIMPLE_") or model in ("RADIAL", "FOV",
+                                                "RADIAL_FISHEYE"):
+        return [p[0], p[0], p[1], p[2]]  # f, cx, cy (+distortion ignored)
+    return [p[0], p[1], p[2], p[3]]      # fx, fy, cx, cy
+
+
+def _read_colmap_model(root: str):
+    """Read a COLMAP sparse model, text OR binary, from ``root`` (or its
+    ``sparse/0`` subdir). Returns ``(cams {id: [fx fy cx cy]}, images
+    [(name, qwxyz, tvec, cam_id)])`` sorted by image name.
+
+    MVImgNet and most COLMAP pipelines ship the BINARY model
+    (cameras.bin/images.bin) — the reference reads it through LLFF's
+    pose_utils (``tools/mvimagenet/generate_cameras.py:19``); this is a
+    dependency-free reader of the documented format.
+    """
+    import struct
+
+    for cand in (root, os.path.join(root, "sparse", "0"),
+                 os.path.join(root, "sparse")):
+        if os.path.exists(os.path.join(cand, "cameras.txt")) or \
+                os.path.exists(os.path.join(cand, "cameras.bin")):
+            root = cand
+            break
+
+    cams = {}
+    if os.path.exists(os.path.join(root, "cameras.bin")):
+        with open(os.path.join(root, "cameras.bin"), "rb") as fp:
+            n_cams, = struct.unpack("<Q", fp.read(8))
+            for _ in range(n_cams):
+                cam_id, model_id = struct.unpack("<ii", fp.read(8))
+                _w, _h = struct.unpack("<QQ", fp.read(16))
+                name, n_par = _COLMAP_MODELS[model_id]
+                p = list(struct.unpack(f"<{n_par}d", fp.read(8 * n_par)))
+                cams[cam_id] = _intrinsics_of(name, p)
+    else:
+        with open(os.path.join(root, "cameras.txt")) as fp:
+            for line in fp:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = line.split()
+                cam_id, model = int(parts[0]), parts[1]
+                p = list(map(float, parts[4:]))
+                cams[cam_id] = _intrinsics_of(model, p)
+
+    images = []
+    if os.path.exists(os.path.join(root, "images.bin")):
+        with open(os.path.join(root, "images.bin"), "rb") as fp:
+            n_imgs, = struct.unpack("<Q", fp.read(8))
+            for _ in range(n_imgs):
+                img_id, = struct.unpack("<i", fp.read(4))
+                q = struct.unpack("<4d", fp.read(32))
+                t = struct.unpack("<3d", fp.read(24))
+                cam_id, = struct.unpack("<i", fp.read(4))
+                name = b""
+                while (c := fp.read(1)) != b"\x00":
+                    name += c
+                n_pts, = struct.unpack("<Q", fp.read(8))
+                fp.seek(24 * n_pts, 1)  # (x, y, point3D_id) per point
+                images.append((name.decode(), list(q), list(t), cam_id))
+    else:
+        with open(os.path.join(root, "images.txt")) as fp:
+            lines = [ln for ln in fp
+                     if not ln.startswith("#") and ln.strip()]
+        for ln in lines[::2]:  # every other line is 2D points
+            parts = ln.split()
+            images.append((parts[9], list(map(float, parts[1:5])),
+                           list(map(float, parts[5:8])), int(parts[8])))
+    images.sort(key=lambda it: it[0])
+    return cams, images
+
+
+def _colmap_scene_entry(root: str, frame_prefix: str = ""):
+    """One scene's COLMAP model -> annotation entry dict."""
     from prometheus_tpu.utils.quaternion import quaternion_to_matrix
     import jax.numpy as jnp
 
+    cams, images = _read_colmap_model(root)
     frames, poses, intr = [], [], []
-    with open(os.path.join(root, "images.txt")) as fp:
-        lines = [ln for ln in fp if not ln.startswith("#") and ln.strip()]
-    for ln in lines[::2]:  # every other line is 2D points
-        parts = ln.split()
-        qw, qx, qy, qz = map(float, parts[1:5])
-        tx, ty, tz = map(float, parts[5:8])
-        cam_id, name = int(parts[8]), parts[9]
-        R = np.asarray(quaternion_to_matrix(jnp.asarray([qw, qx, qy, qz])))
+    for name, q, t, cam_id in images:
+        R = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
         # COLMAP stores world->cam; invert to c2w (OpenCV), datasets convert
         w2c = np.eye(4)
         w2c[:3, :3] = R
-        w2c[:3, 3] = [tx, ty, tz]
+        w2c[:3, 3] = t
         poses.append(np.linalg.inv(w2c)[:3])
-        frames.append(name)
+        frames.append(os.path.join(frame_prefix, name) if frame_prefix
+                      else name)
         intr.append(cams[cam_id])
+    return {"frames": frames, "poses": np.stack(poses).tolist(),
+            "intrinsics": intr, "captions": []}
+
+
+def colmap_to_annotation(root: str, out: str):
+    """Convert one COLMAP export (text or binary) to annotations."""
     scene = os.path.basename(root.rstrip("/"))
-    ann = {scene: {"frames": frames,
-                   "poses": np.stack(poses).tolist(),
-                   "intrinsics": intr, "captions": []}}
+    ann = {scene: _colmap_scene_entry(root)}
     with open(out, "wb") as fp:
         pickle.dump(ann, fp)
-    print(f"[metadata] {len(frames)} frames ({scene}) -> {out}")
+    print(f"[metadata] {len(ann[scene]['frames'])} frames ({scene}) -> {out}")
+
+
+def mvimgnet_annotations(root: str, out: str, category: str = "all"):
+    """MVImgNet: walk ``<root>/<category>/<scene>/sparse/0`` COLMAP models
+    into ONE annotation pickle; frames point at ``<category>/<scene>/images``.
+
+    Reference analog: ``tools/mvimagenet/generate_cameras.py`` (LLFF
+    pose_utils over per-scene COLMAP) + ``build_metadata.py`` (merge).
+    """
+    cats = sorted(os.listdir(root)) if category == "all" else [category]
+    ann, bad = {}, 0
+    for cat in cats:
+        cdir = os.path.join(root, cat)
+        if not os.path.isdir(cdir):
+            continue
+        for scene in sorted(os.listdir(cdir)):
+            sdir = os.path.join(cdir, scene)
+            if not os.path.isdir(sdir):
+                continue
+            try:
+                prefix = (os.path.join(cat, scene, "images")
+                          if os.path.isdir(os.path.join(sdir, "images"))
+                          else os.path.join(cat, scene))
+                ann[f"{cat}/{scene}"] = _colmap_scene_entry(
+                    sdir, frame_prefix=prefix)
+            except (OSError, KeyError, ValueError) as e:
+                bad += 1
+                print(f"[metadata] skip {cat}/{scene}: {e}")
+    with open(out, "wb") as fp:
+        pickle.dump(ann, fp)
+    print(f"[metadata] mvimgnet: {len(ann)} scenes -> {out} ({bad} skipped)")
+
+
+def journeydb_csv(raw_csv: str, out_dir: str, shard_size: int = 100000,
+                  mode: str = "full", image_root: str | None = None):
+    """Reshard JourneyDB's raw caption CSV into the
+    ``filenames_and_captions_{mode}_{i}.csv`` shards ``Text2ImageDataset``
+    ingests ([Image Name, Image Path, Caption] rows).
+
+    Reference analog: ``tools/journeydb/build_metadata.py:60-105`` —
+    including its path rewrite (drop the first two path components) and the
+    optional existence filter (its ``local_tiny`` mode).
+    """
+    import csv
+
+    meta_dir = os.path.join(out_dir, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    shard, rows, n_total, skipped = 0, [], 0, 0
+
+    def flush():
+        nonlocal shard, rows
+        if not rows:
+            return
+        path = os.path.join(meta_dir,
+                            f"filenames_and_captions_{mode}_{shard}.csv")
+        with open(path, "w", encoding="utf-8", newline="") as fp:
+            w = csv.writer(fp)
+            w.writerow(["Image Name", "Image Path", "Caption"])
+            w.writerows(rows)
+        shard += 1
+        rows = []
+
+    with open(raw_csv, encoding="utf-8") as fp:
+        reader = csv.reader(fp)
+        for i, line in enumerate(reader):
+            if i == 0 or not line:
+                continue
+            parts = line[0].split("/")
+            rel = "/".join(parts[2:]) if len(parts) > 2 else line[0]
+            if image_root and not os.path.exists(
+                    os.path.join(image_root, rel)):
+                skipped += 1
+                continue
+            rows.append([parts[-1], rel, line[-1]])
+            n_total += 1
+            if len(rows) >= shard_size:
+                flush()
+    flush()
+    print(f"[metadata] journeydb: {n_total} rows -> {shard} shard(s) in "
+          f"{meta_dir} ({skipped} missing-image rows skipped)")
 
 
 def dl3dv_raw(root: str, out: str, require_caption: bool = False):
@@ -585,6 +733,21 @@ def main():
     s9.add_argument("--root", required=True)
     s9.add_argument("--out", required=True)
     s9.add_argument("--filelist", default=None)
+    s10 = sub.add_parser("mvimgnet",
+                         help="MVImgNet category/scene COLMAP models "
+                              "(text or binary) -> one annotation pkl")
+    s10.add_argument("--root", required=True)
+    s10.add_argument("--out", required=True)
+    s10.add_argument("--category", default="all")
+    s11 = sub.add_parser("journeydb-csv",
+                         help="JourneyDB raw caption CSV -> sharded "
+                              "filenames_and_captions CSVs for T2I")
+    s11.add_argument("--raw_csv", required=True)
+    s11.add_argument("--out", required=True)
+    s11.add_argument("--shard_size", type=int, default=100000)
+    s11.add_argument("--mode", default="full")
+    s11.add_argument("--image_root", default=None,
+                     help="filter rows to images that exist here")
     args = ap.parse_args()
     if args.cmd == "scan-scenes":
         scan_scenes(args.root, args.out)
@@ -606,6 +769,11 @@ def main():
         blender_transforms(args.root, args.out, args.prompt_suffix)
     elif args.cmd == "t2i-captions":
         t2i_captions(args.root, args.out, args.filelist)
+    elif args.cmd == "mvimgnet":
+        mvimgnet_annotations(args.root, args.out, args.category)
+    elif args.cmd == "journeydb-csv":
+        journeydb_csv(args.raw_csv, args.out, args.shard_size, args.mode,
+                      args.image_root)
 
 
 if __name__ == "__main__":
