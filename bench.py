@@ -426,69 +426,22 @@ def main():
         times.append(time.time() - t0)
         _PARTIAL["best_e2e_s"] = min(times)
     best = min(times)
-    _PARTIAL["stage"] = "fast_render"
 
-    # fast-render mode: capacity-512 worklists (depth-ordered truncation
-    # behind near-saturated alpha; measured exact on the trained-stats
-    # scene with the full default instance budget — fast_psnr_vs_exact_db
-    # below records it per round). Reported alongside, not as, the primary
-    # quality-default number.
+    # STAGE ORDER (degraded-tunnel resilience): everything that REUSES the
+    # warm-up compiles or only needs small new programs (quality PSNR,
+    # render FPS, overflow stats) runs FIRST, then the train step (MFU —
+    # one big compile, high value), and the compile-heavy optional extras
+    # (fast-render cap recompile, CFG-interval, dpmpp scan) run LAST. On a
+    # degraded tunnel each NEW compile can eat tens of minutes, and the r4
+    # deadline partial lost FPS/MFU to the fast-render+dpmpp compiles.
     import numpy as np
 
     last_key = 100 + (3 if small else 2) - 1   # same scene as `result`
-    run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
-             render_size=render_size, image_size=image_size,
-             render_cap=512)                   # warm-up: cap-512 compile
-    t0 = time.time()
-    fast = run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
-                    render_size=render_size, image_size=image_size,
-                    render_cap=512)
-    fast_s = time.time() - t0
-    a = np.asarray(fast["images_gs_render"], np.float32)
-    b = np.asarray(result["images_gs_render"], np.float32)
-    mse = float(np.mean((a - b) ** 2))
-    fast_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
-
-    # optional CFG-interval fast mode datapoint (guidance on the first
-    # BENCH_CFG_FRAC of steps only; NOT the primary metric — the primary
-    # e2e stays reference-exact full-interval CFG)
-    cfg_frac = os.environ.get("BENCH_CFG_FRAC", "")
-    if cfg_frac:
-        frac = float(cfg_frac)
-        run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
-                 render_size=render_size, image_size=image_size,
-                 cfg_frac=frac)                 # warm-up compile
-        t0 = time.time()
-        run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
-                 render_size=render_size, image_size=image_size,
-                 cfg_frac=frac)
-        extra_cfg = {"e2e_cfg_interval_s": round(time.time() - t0, 3),
-                     "cfg_interval_frac": frac}
-    else:
-        extra_cfg = {}
-
-    # optional DPM-Solver++(2M) fast-sampler datapoint (BENCH_DPMPP=steps,
-    # e.g. 30): same ODE at ~1/3 the model evals; NOT the primary metric —
-    # the primary e2e stays the reference's 100-step Euler
-    dpm_steps = os.environ.get("BENCH_DPMPP", "30")  # "" disables
-    if dpm_steps:
-        ns = int(dpm_steps)
-        _PARTIAL["stage"] = f"dpmpp_{ns}"
-        run_once(pipe, jax.random.PRNGKey(last_key), steps=ns,
-                 render_size=render_size, image_size=image_size,
-                 sampler="dpmpp_2m")            # warm-up compile
-        t0 = time.time()
-        run_once(pipe, jax.random.PRNGKey(last_key), steps=ns,
-                 render_size=render_size, image_size=image_size,
-                 sampler="dpmpp_2m")
-        extra_cfg[f"e2e_dpmpp{ns}_s"] = round(time.time() - t0, 3)
 
     # quality vs the EXACT compositor at production density (VERDICT r2
     # weak #1): random-tile-subset PSNR for the quality-default and fast
     # capacities, on this scene AND a trained-statistics synthetic scene
-    _PARTIAL.update(stage="quality",
-                    e2e_fast_render_s=round(fast_s, 3),
-                    fast_render_psnr_db=round(fast_psnr, 1), **extra_cfg)
+    _PARTIAL["stage"] = "quality"
     quality = {}
     try:
         from prometheus_tpu.ops.gaussian.quality import (
@@ -573,6 +526,82 @@ def main():
     except Exception as e:
         _log(f"bench: overflow stats failed ({e})")
 
+    _PARTIAL.update(stage="train_step", render_fps=round(render_fps, 1),
+                    tile_overflow=overflow, **quality)
+    train_extra = {}
+    if bench_train:
+        _log("bench: training-step benchmark (compile)...")
+        try:
+            train_extra.update(bench_train_step(pipe))
+        except Exception as e:
+            _log(f"bench: train-step bench failed ({e})")
+        # batch-2 datapoint: amortizes the fixed optimizer/EMA update phase
+        # (~16 ms/step); reported alongside the reference-matched batch-1
+        try:
+            bs2 = bench_train_step(pipe, batch_size=2)
+            train_extra.update({f"{k}_bs2": v for k, v in bs2.items()
+                                if k in ("train_step_s", "train_mfu",
+                                         "train_examples_per_s")})
+        except Exception as e:
+            _log(f"bench: bs2 train-step bench failed ({e})")
+        _PARTIAL.update(**train_extra)
+
+    # ---- compile-heavy optional extras (LAST; see stage-order note) ----
+    # fast-render mode: capacity-512 worklists (depth-ordered truncation
+    # behind near-saturated alpha; measured exact on the trained-stats
+    # scene with the full default instance budget — fast_psnr_vs_exact_db
+    # above records it per round). Reported alongside, not as, the primary
+    # quality-default number.
+    _PARTIAL["stage"] = "fast_render"
+    run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
+             render_size=render_size, image_size=image_size,
+             render_cap=512)                   # warm-up: cap-512 compile
+    t0 = time.time()
+    fast = run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
+                    render_size=render_size, image_size=image_size,
+                    render_cap=512)
+    fast_s = time.time() - t0
+    a = np.asarray(fast["images_gs_render"], np.float32)
+    b = np.asarray(result["images_gs_render"], np.float32)
+    mse = float(np.mean((a - b) ** 2))
+    fast_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
+    _PARTIAL.update(e2e_fast_render_s=round(fast_s, 3),
+                    fast_render_psnr_db=round(fast_psnr, 1))
+
+    # optional CFG-interval fast mode datapoint (guidance on the first
+    # BENCH_CFG_FRAC of steps only; NOT the primary metric — the primary
+    # e2e stays reference-exact full-interval CFG)
+    cfg_frac = os.environ.get("BENCH_CFG_FRAC", "")
+    if cfg_frac:
+        frac = float(cfg_frac)
+        run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
+                 render_size=render_size, image_size=image_size,
+                 cfg_frac=frac)                 # warm-up compile
+        t0 = time.time()
+        run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
+                 render_size=render_size, image_size=image_size,
+                 cfg_frac=frac)
+        extra_cfg = {"e2e_cfg_interval_s": round(time.time() - t0, 3),
+                     "cfg_interval_frac": frac}
+    else:
+        extra_cfg = {}
+
+    # optional DPM-Solver++(2M) fast-sampler datapoint (BENCH_DPMPP=steps,
+    # e.g. 30): same ODE at ~1/3 the model evals; NOT the primary metric —
+    # the primary e2e stays the reference's 100-step Euler
+    dpm_steps = os.environ.get("BENCH_DPMPP", "30")  # "" disables
+    if dpm_steps:
+        ns = int(dpm_steps)
+        _PARTIAL["stage"] = f"dpmpp_{ns}"
+        run_once(pipe, jax.random.PRNGKey(last_key), steps=ns,
+                 render_size=render_size, image_size=image_size,
+                 sampler="dpmpp_2m")            # warm-up compile
+        t0 = time.time()
+        run_once(pipe, jax.random.PRNGKey(last_key), steps=ns,
+                 render_size=render_size, image_size=image_size,
+                 sampler="dpmpp_2m")
+        extra_cfg[f"e2e_dpmpp{ns}_s"] = round(time.time() - t0, 3)
+
     extra = {
         "platform": platform, "steps": steps,
         "render_size": render_size, "init_s": round(init_s, 1),
@@ -586,27 +615,10 @@ def main():
         "tile_overflow": overflow,
         **extra_cfg,
         **quality,
+        **train_extra,
     }
     if "loader" in _PARTIAL:
         extra["loader"] = _PARTIAL["loader"]
-
-    _PARTIAL.update(stage="train_step", render_fps=round(render_fps, 1),
-                    **quality)
-    if bench_train:
-        _log("bench: training-step benchmark (compile)...")
-        try:
-            extra.update(bench_train_step(pipe))
-        except Exception as e:
-            _log(f"bench: train-step bench failed ({e})")
-        # batch-2 datapoint: amortizes the fixed optimizer/EMA update phase
-        # (~16 ms/step); reported alongside the reference-matched batch-1
-        try:
-            bs2 = bench_train_step(pipe, batch_size=2)
-            extra.update({f"{k}_bs2": v for k, v in bs2.items()
-                          if k in ("train_step_s", "train_mfu",
-                                   "train_examples_per_s")})
-        except Exception as e:
-            _log(f"bench: bs2 train-step bench failed ({e})")
 
     metric = "text_to_3dgs_seconds_e2e" + ("_small" if small else "")
     print(json.dumps({

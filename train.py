@@ -336,10 +336,16 @@ def main():
             loss = system.loss(p, k, batch["cameras_mv"], batch["text_emb"])
             return loss, ({"loss_traj": loss}, ms)
 
+    # bf16 first moment by default: fp32 Adam moments push the flagship
+    # stage-2 state to 14.5 GB of arguments and the 16 GB v5e OOMs by
+    # ~210 MB at batch 1 (runbook r4 train500). bench.py has always used
+    # mu_dtype=bf16; train.py must match. "f32" opts out.
+    mu_dt = str(tr.get("adam_mu_dtype", "bf16"))
     tx = make_optimizer(
         learning_rate=float(tr.learning_rate),
         weight_decay=float(tr.get("weight_decay", 1e-4)),
         betas=tuple(tr.get("betas", (0.9, 0.95))),
+        mu_dtype=jnp.bfloat16 if mu_dt == "bf16" else None,
     )
     frozen_mask = None
     if args.stage == "mvldm":
