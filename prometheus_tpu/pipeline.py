@@ -238,18 +238,22 @@ class PrometheusPipeline:
 
         model, params, system = self.mvldm.model, self.mvldm_params, self.mvldm
 
-        def encode_fn(images):  # (V, 3, H, W) -> (V, 4, h, w)
-            return model.apply(params, images[None],
+        # params-first tower fns + frozen_params: the weights ride through
+        # the jitted refine programs as runtime buffers (ONE on-device copy,
+        # width-independent serialized programs) instead of jit-embedded
+        # constants — see GSRefinerSDSPlusPlus.frozen_params.
+        def encode_fn(p, images):  # (V, 3, H, W) -> (V, 4, h, w)
+            return model.apply(p, images[None],
                                method=MVLDMModel.encode_image)[0]
 
-        def decode_fn(latents):  # (V, 4, h, w) -> (V, 3, H, W)
-            return model.apply(params, latents[None],
+        def decode_fn(p, latents):  # (V, 4, h, w) -> (V, 3, H, W)
+            return model.apply(p, latents[None],
                                method=MVLDMModel.decode_latent)[0]
 
         if kind == "mv_sds":
             kw = dict(encode_fn=encode_fn, decode_fn=decode_fn,
-                      denoise_fn=None, mvldm_system=system,
-                      mvldm_params=params)
+                      denoise_fn=None, frozen_params=params,
+                      mvldm_system=system, mvldm_params=params)
             kw.update(overrides)
             return MultiviewSDSPPRefiner(**kw)
         if kind != "sds":
@@ -265,7 +269,7 @@ class PrometheusPipeline:
         from .ops.schedulers import make_ddim
         ddpm = make_ddim(kind="scaled_linear")
 
-        def denoise_fn(lat_noisy_vp, t, emb):
+        def denoise_fn(p, lat_noisy_vp, t, emb):
             """VP-noisy (B,4,h,w) + integer t -> eps prediction (B,4,h,w)."""
             ab = ddpm.alphas_cumprod[t][:, None, None, None]
             sigma = jnp.sqrt((1.0 - ab) / ab)           # VE sigma of this t
@@ -276,13 +280,13 @@ class PrometheusPipeline:
             net_in = jnp.concatenate([lat_noisy_vp, pad], axis=1)[:, None]
             tc = jnp.broadcast_to(system._t_cond(sigma[:, 0, 0, 0])[:, None],
                                   (B, 1))
-            out = model.apply(params, net_in, emb, tc,
+            out = model.apply(p, net_in, emb, tc,
                               method=MVLDMModel.denoise)[:, 0, :4]
             x0 = sched.c_skip(sigma) * x_ve + sched.c_out(sigma) * out
             return (x_ve - x0) / jnp.maximum(sigma, 1e-8)
 
         kw = dict(encode_fn=encode_fn, decode_fn=decode_fn,
-                  denoise_fn=denoise_fn)
+                  denoise_fn=denoise_fn, frozen_params=params)
         kw.update(overrides)
         refiner = GSRefinerSDSPlusPlus(**kw)
         return refiner

@@ -58,11 +58,22 @@ class GSRefinerSDSPlusPlus:
 
     ``denoise_fn(latents (B,4,h,w), t (B,), text_emb (B,L,D)) -> eps`` wraps
     the guidance U-Net; ``encode_fn``/``decode_fn`` wrap the (frozen) VAE.
+
+    ``frozen_params``: when set, the tower fns take this pytree as their
+    FIRST argument (``encode_fn(params, images)`` etc.) and the weights flow
+    through the jitted refine programs as runtime buffers. When ``None``
+    (legacy closure form), jit embeds every closed-over weight as an inline
+    constant in each program — the serialized remote-compile body then
+    scales with model width (the tunneled backend rejects flagship-width
+    bodies with HTTP 413) and each of the three per-iteration programs
+    carries its own on-device copy of the same frozen weights. Pass
+    ``frozen_params`` for anything bigger than a toy model.
     """
 
     denoise_fn: Callable
     encode_fn: Callable
     decode_fn: Callable
+    frozen_params: Any = None
     guidance_scale: float = 7.5
     num_views: int = 4          # cameras sampled per iteration
     img_size: int = 256
@@ -86,6 +97,20 @@ class GSRefinerSDSPlusPlus:
         n = self.schedule.num_train_timesteps
         self.min_step = int(n * self.min_step_ratio)
         self.max_step = int(n * self.max_step_ratio)
+
+    # two-arg (params-first) vs legacy closure tower calls ---------------
+    def _enc(self, fp, images):
+        return self.encode_fn(fp, images) if self.frozen_params is not None \
+            else self.encode_fn(images)
+
+    def _dec(self, fp, latents):
+        return self.decode_fn(fp, latents) if self.frozen_params is not None \
+            else self.decode_fn(latents)
+
+    def _den(self, fp, latents, t, emb):
+        return self.denoise_fn(fp, latents, t, emb) \
+            if self.frozen_params is not None \
+            else self.denoise_fn(latents, t, emb)
 
     # ------------------------------------------------------------------
     def _t_for_iter(self, i: jax.Array) -> jax.Array:
@@ -114,11 +139,11 @@ class GSRefinerSDSPlusPlus:
     # split programs each compile in train-step-bench territory. Math is
     # unchanged: the U-Net outputs were stop-grad in the fused form too.
     # ------------------------------------------------------------------
-    def _guidance_targets(self, images, depths, cams, t, text_emb,
+    def _guidance_targets(self, fp, images, depths, cams, t, text_emb,
                           uncond_emb, learn_emb, key):
         """images/depths: rendered constants. Returns
         ``(targets dict, loss_embedding, grad_embedding)``."""
-        latents = self.encode_fn(images)
+        latents = self._enc(fp, images)
         B = latents.shape[0]
         tb = jnp.broadcast_to(t, (B,))
         noise = jax.random.normal(key, latents.shape)
@@ -127,8 +152,8 @@ class GSRefinerSDSPlusPlus:
 
         if self.use_lods:
             def emb_loss(emb):
-                eps_l = self.denoise_fn(
-                    frozen_noisy, tb,
+                eps_l = self._den(
+                    fp, frozen_noisy, tb,
                     jnp.broadcast_to(emb, (B,) + emb.shape[1:]))
                 return jnp.mean((eps_l - noise) ** 2), eps_l
 
@@ -139,7 +164,8 @@ class GSRefinerSDSPlusPlus:
             loss_embedding = jnp.zeros(())
             grad_emb = jnp.zeros_like(learn_emb)
 
-        eps = self.denoise_fn(
+        eps = self._den(
+            fp,
             jnp.concatenate([frozen_noisy, frozen_noisy], 0),
             jnp.concatenate([tb, tb], 0),
             jnp.concatenate([
@@ -153,14 +179,14 @@ class GSRefinerSDSPlusPlus:
         w = (1 - self.schedule.alphas_cumprod[tb])[:, None, None, None]
         latents_pred = (frozen_noisy - sigma * (eps_g - eps_learn + noise)) \
             / alpha
-        images_pred = jnp.clip(self.decode_fn(latents_pred), -1, 1)
+        images_pred = jnp.clip(self._dec(fp, latents_pred), -1, 1)
         targets = {"latents_pred": latents_pred, "images_pred": images_pred,
                    "scale": (w * alpha / sigma)[:, 0, 0, 0]}
         return targets, loss_embedding, grad_emb
 
-    def _pull_loss(self, images, depths, targets):
+    def _pull_loss(self, fp, images, depths, targets):
         """Differentiable-through-render pull toward the guidance targets."""
-        latents = self.encode_fn(images)
+        latents = self._enc(fp, images)
         B = latents.shape[0]
         scale = targets["scale"]
         loss_latent = jnp.sum(jnp.sum(
@@ -197,6 +223,11 @@ class GSRefinerSDSPlusPlus:
         # _guidance_targets docstring): render fwd -> guidance (U-Net) ->
         # render+encode VJP + optimizer. Costs one extra render forward per
         # iteration; each program compiles reliably at flagship size.
+        # frozen tower weights enter `guidance`/`grad_and_update` as the
+        # runtime argument `fp` (empty tuple in the legacy closure form) so
+        # the serialized programs stay width-independent.
+        fp = self.frozen_params if self.frozen_params is not None else ()
+
         @jax.jit
         def render_fwd(buf, i, key):
             k_cam, k_noise = jax.random.split(key)
@@ -208,12 +239,12 @@ class GSRefinerSDSPlusPlus:
             return images, deps, cams, self._t_for_iter(i), k_noise
 
         @jax.jit
-        def guidance(images, deps, cams, t, learn_emb, k_noise):
-            return self._guidance_targets(images, deps, cams, t, text_emb,
+        def guidance(fp, images, deps, cams, t, learn_emb, k_noise):
+            return self._guidance_targets(fp, images, deps, cams, t, text_emb,
                                           uncond_emb, learn_emb, k_noise)
 
         @jax.jit
-        def grad_and_update(buf, learn_emb, opt_state, grad_stat, cams,
+        def grad_and_update(fp, buf, learn_emb, opt_state, grad_stat, cams,
                             targets, grad_emb, loss_emb):
             alive = buf.alive
 
@@ -222,7 +253,7 @@ class GSRefinerSDSPlusPlus:
                 imgs, deps, masks = render_gaussians(
                     cams, activate(b), h=self.img_size, w=self.img_size)
                 images = imgs.reshape((-1, 3, self.img_size, self.img_size))
-                loss = self._pull_loss(images, deps, targets)
+                loss = self._pull_loss(fp, images, deps, targets)
                 if self.lambda_mask_saturation > 0:
                     loss += self.lambda_mask_saturation * jnp.mean(
                         (masks - 1.0) ** 2)
@@ -256,10 +287,10 @@ class GSRefinerSDSPlusPlus:
             images, deps, cams, t, k_noise = call_with_compile_retry(
                 render_fwd, buf, jnp.asarray(i, jnp.float32), k_i)
             targets, loss_emb, grad_emb = call_with_compile_retry(
-                guidance, images, deps, cams, t, learn_emb, k_noise)
+                guidance, fp, images, deps, cams, t, learn_emb, k_noise)
             buf, learn_emb, opt_state, loss, grad_stat = \
                 call_with_compile_retry(
-                    grad_and_update, buf, learn_emb, opt_state, grad_stat,
+                    grad_and_update, fp, buf, learn_emb, opt_state, grad_stat,
                     cams, targets, grad_emb, loss_emb)
         return activate(buf)
 
@@ -280,23 +311,23 @@ class MultiviewSDSPPRefiner(GSRefinerSDSPlusPlus):
     mvldm_params: Any = None
     use_lods: bool = False
 
-    def _encode_rgbd(self, images, depths):
+    def _encode_rgbd(self, fp, images, depths):
         """Renders -> joint (1, V, 8, h, h) RGB-D latents."""
         V = self.num_views
         depth3 = jnp.repeat(
             jnp.clip(depths, 0.0, 1.0).reshape(V, 1, self.img_size,
                                                self.img_size) * 2 - 1,
             3, axis=1)
-        lat_rgb = self.encode_fn(images)
-        lat_depth = self.encode_fn(depth3)
+        lat_rgb = self._enc(fp, images)
+        lat_depth = self._enc(fp, depth3)
         hw = lat_rgb.shape[-1]
         return jnp.concatenate([lat_rgb, lat_depth], 1).reshape(
             1, V, 8, hw, hw)
 
-    def _guidance_targets(self, images, depths, cams, t, text_emb,
+    def _guidance_targets(self, fp, images, depths, cams, t, text_emb,
                           uncond_emb, learn_emb, key):
         sys_ = self.mvldm_system
-        latents = self._encode_rgbd(images, depths)
+        latents = self._encode_rgbd(fp, images, depths)
         hw = latents.shape[-1]
 
         sch = sys_.schedule
@@ -306,15 +337,17 @@ class MultiviewSDSPPRefiner(GSRefinerSDSPlusPlus):
         noisy = latents + sigma * noise
 
         pose_emb, uncond_pose = sys_._pose_embeddings(cams, hw, hw)
+        mv_params = fp if self.frozen_params is not None \
+            else self.mvldm_params
         out = sys_._guided_output(
-            self.mvldm_params, noisy, sigma, text_emb, uncond_emb,
+            mv_params, noisy, sigma, text_emb, uncond_emb,
             pose_emb, uncond_pose, "joint", self.guidance_scale, 0.0)
         x0 = sch.denoise_output_to_x0(noisy, out, sigma)
         targets = {"x0": x0, "w": 1.0 / (sigma**2 + 1.0)}
         return targets, jnp.zeros(()), jnp.zeros_like(learn_emb)
 
-    def _pull_loss(self, images, depths, targets):
-        latents = self._encode_rgbd(images, depths)
+    def _pull_loss(self, fp, images, depths, targets):
+        latents = self._encode_rgbd(fp, images, depths)
         loss_latent = jnp.sum(
             targets["w"] * (latents - targets["x0"]) ** 2) / self.num_views
         return self.lambda_latent_sds * loss_latent

@@ -152,3 +152,31 @@ def test_cfg_interval_fast_mode(tiny_pipeline):
     assert bool(jnp.isfinite(fast).all())
     # the fast path genuinely deviates after the switch (it ran unguided)
     assert float(jnp.abs(fast - full).max()) > 0
+
+
+@pytest.mark.slow
+def test_build_refiner_mv_sds(tiny_pipeline):
+    """pipeline.build_refiner('mv_sds') runs the MV-SDS++ loop end-to-end.
+
+    Covers the frozen_params wiring: the MV-LDM weights ride through the
+    jitted refine programs as runtime arguments (one HBM copy,
+    width-independent serialized programs — sds_pp.py frozen_params)."""
+    from prometheus_tpu.utils import get_random_cameras
+
+    p = tiny_pipeline
+    refiner = p.build_refiner("mv_sds", total_iterations=2, num_views=2,
+                              img_size=32, densification_interval=20)
+    assert refiner.frozen_params is not None
+    key = jax.random.PRNGKey(3)
+    n = 24
+    xyz = jax.random.uniform(key, (1, n, 3), minval=-1, maxval=1)
+    xyz = xyz.at[..., 2].add(-3.0)
+    g = (xyz, jnp.full((1, n, 1, 3), 0.5), jnp.full((1, n, 1), 0.8),
+         jnp.full((1, n, 3), 0.05),
+         jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (1, n, 1)))
+    dense = get_random_cameras(key, 8, size=32)[None]
+    text = jax.random.normal(key, (1, 77, 64)) * 0.02
+    out = refiner.refine_gaussians(g, text, text * 0, dense, key)
+    for a in out:
+        assert bool(jnp.isfinite(a).all())
+    assert float(jnp.abs(out[0][:, :n] - g[0]).max()) > 0  # moved

@@ -61,6 +61,71 @@ def test_densify_respects_capacity(key):
     assert int(num_alive(out)) == 17  # capacity-limited
 
 
+def _tiny_towers(img_size=32):
+    from prometheus_tpu.models import AutoencoderKL, MultiViewUNet
+
+    unet = MultiViewUNet(in_channels=4, out_channels=4, model_channels=16,
+                         num_head_channels=8, context_dim=16,
+                         channel_mult=(1, 2), num_res_blocks=1,
+                         attention_ds=(2,), disable_3d_attentions=(1, 1, 1),
+                         use_checkpoint=False)
+    vae = AutoencoderKL(ch=16, ch_mult=(1, 2), num_res_blocks=1)
+    kp = jax.random.PRNGKey(1)
+    up = unet.init(kp, jnp.zeros((1, 4, 16, 16)), jnp.zeros((1,)),
+                   jnp.zeros((1, 7, 16)), num_frames=1)
+    vp = vae.init(kp, jnp.zeros((1, 3, img_size, img_size)),
+                  sample_posterior=False)
+    return unet, vae, up, vp
+
+
+@pytest.mark.slow
+def test_sds_refiner_frozen_params_matches_closure(key):
+    """frozen_params (weights as jit args) == legacy closure form, exactly.
+
+    The params-first form exists so flagship-width refine programs don't
+    embed the tower weights as serialized MLIR constants (sds_pp.py
+    ``frozen_params`` docstring); the math must be unchanged.
+    """
+    from prometheus_tpu.models import AutoencoderKL
+    from prometheus_tpu.utils import get_random_cameras
+
+    img_size = 32
+    unet, vae, up, vp = _tiny_towers(img_size)
+    fp = {"up": up, "vp": vp}
+
+    common = dict(num_views=2, img_size=img_size, total_iterations=3,
+                  densification_interval=30, guidance_scale=3.0)
+    ref_closure = GSRefinerSDSPlusPlus(
+        denoise_fn=lambda lat, t, emb: unet.apply(
+            up, lat, t.astype(jnp.float32), emb, num_frames=1),
+        encode_fn=lambda x: vae.apply(
+            vp, x, method=AutoencoderKL.encode).mode() * 0.18215,
+        decode_fn=lambda z: vae.apply(
+            vp, z / 0.18215, method=AutoencoderKL.decode),
+        **common)
+    ref_args = GSRefinerSDSPlusPlus(
+        denoise_fn=lambda p, lat, t, emb: unet.apply(
+            p["up"], lat, t.astype(jnp.float32), emb, num_frames=1),
+        encode_fn=lambda p, x: vae.apply(
+            p["vp"], x, method=AutoencoderKL.encode).mode() * 0.18215,
+        decode_fn=lambda p, z: vae.apply(
+            p["vp"], z / 0.18215, method=AutoencoderKL.decode),
+        frozen_params=fp, **common)
+
+    g = make_gaussians(key, n=16)
+    dense = get_random_cameras(key, 8, size=img_size)[None]
+    text = jax.random.normal(key, (1, 7, 16)) * 0.02
+    out_c = ref_closure.refine_gaussians(g, text, text * 0, dense, key)
+    out_a = ref_args.refine_gaussians(g, text, text * 0, dense, key)
+    # not bit-identical: constant-embedded vs argument weights change XLA's
+    # folding/fusion, and Adam amplifies float-level divergence to lr scale
+    # (rots lr 1e-3). A WIRING error (wrong params reaching a tower) would
+    # produce wholesale disagreement, not lr-scale drift.
+    for a, b in zip(out_c, out_a):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-2)
+
+
 @pytest.mark.slow
 def test_sds_refiner_smoke(key):
     """End-to-end SDS++ smoke with a tiny 2D U-Net + tiny VAE as guidance."""

@@ -105,17 +105,21 @@ def run_width(frac: float, *, iters: int, n_gauss: int, views: int,
     model, params, system, init_s = build_mvldm(
         frac, flagship_clip=(frac >= 1.0))
 
-    def encode_fn(images):
-        return model.apply(params, images[None],
+    # params-first + frozen_params: weights are runtime buffers, so the
+    # serialized remote-compile body stays width-independent (the closure
+    # form embedded every weight as an MLIR constant — the tunnel rejected
+    # the width>=0.5 bodies with HTTP 413 in round 4)
+    def encode_fn(p, images):
+        return model.apply(p, images[None],
                            method=MVLDMModel.encode_image)[0]
 
-    def decode_fn(latents):
-        return model.apply(params, latents[None],
+    def decode_fn(p, latents):
+        return model.apply(p, latents[None],
                            method=MVLDMModel.decode_latent)[0]
 
     refiner = MultiviewSDSPPRefiner(
         encode_fn=encode_fn, decode_fn=decode_fn, denoise_fn=None,
-        mvldm_system=system, mvldm_params=params,
+        frozen_params=params, mvldm_system=system, mvldm_params=params,
         total_iterations=iters, densification_interval=10 * iters,
         num_views=views, img_size=img_size)
 
