@@ -434,8 +434,12 @@ class MVLDMSystem:
         text_kv_u = self._text_kv_for_guidance(
             params, text_embeddings, uncond_text_embeddings, "none", N)
 
-        @partial(jax.jit, static_argnames=())
-        def guided_x0(x, sigma):
+        # weights/text-KV enter the three step programs as runtime arguments
+        # (NOT closed over): top-level jits embed closed-over device arrays
+        # as serialized program constants, so the remote-compile body would
+        # scale with model width (see refiners/sds_pp.py frozen_params).
+        @jax.jit
+        def guided_x0(params, text_kv_g, x, sigma):
             out = self._guided_output(
                 params, x, sigma, text_embeddings, uncond_text_embeddings,
                 pose_emb, uncond_pose_emb, guidance_type, guidance_scale,
@@ -443,7 +447,7 @@ class MVLDMSystem:
             return self.schedule.denoise_output_to_x0(x, out, sigma)
 
         @jax.jit
-        def unguided_x0(x, sigma):
+        def unguided_x0(params, text_kv_u, x, sigma):
             out = self._guided_output(
                 params, x, sigma, text_embeddings, uncond_text_embeddings,
                 pose_emb, uncond_pose_emb, "none", 1.0, 0.0,
@@ -451,7 +455,7 @@ class MVLDMSystem:
             return self.schedule.denoise_output_to_x0(x, out, sigma)
 
         @jax.jit
-        def render_consistent(x0):
+        def render_consistent(params, gs_variables, x0):
             from ..utils.rays import raymap as _raymap
 
             rm = _raymap(cameras, h, w).astype(x0.dtype)
@@ -470,9 +474,11 @@ class MVLDMSystem:
             sigma, sigma_next = sigmas[i], sigmas[i + 1]
             use_3d = m > 0 and ((num_inference_steps - 1 - i) % m == 0)
             if use_3d:
-                x0 = render_consistent(unguided_x0(x, sigma))
+                x0 = render_consistent(
+                    params, gs_variables,
+                    unguided_x0(params, text_kv_u, x, sigma))
             else:
-                x0 = guided_x0(x, sigma)
+                x0 = guided_x0(params, text_kv_g, x, sigma)
             x = self.schedule.euler_step(x, x0, sigma, sigma_next)
         return x0
 
