@@ -519,6 +519,15 @@ def main():
 
     validation_snapshot.logger = None
 
+    # synthetic mode: ONE jitted program per batch instead of ~10 eager
+    # dispatches (each eager op pays the tunnel's per-call overhead; the
+    # r4 500-step run spent ~0.05 s/step on host-side batch plumbing)
+    from functools import partial as _partial
+    synth_fn = jax.jit(_partial(
+        synthetic_mv_batch, B=B, N=N, img=img, ctx_dim=ctx,
+        sv=int(tr.get("images_per_iter", 2)) if args.joint_sv
+        and args.stage == "mvldm" else 0))
+
     t_start = time.time()
     for step in range(int(state.step), max_steps):
         key, k_batch, k_step = jax.random.split(key, 3)
@@ -533,15 +542,14 @@ def main():
                      else shard_batch_per_host(mesh, host_batch))
         else:
             from prometheus_tpu.parallel import shard_batch_views
-            batch = synthetic_mv_batch(
-                k_batch, B, N, img, ctx,
-                sv=int(tr.get("images_per_iter", 2)) if args.joint_sv
-                and args.stage == "mvldm" else 0)
+            batch = synth_fn(k_batch)
             batch = (shard_batch_views(mesh, batch) if args.sp_views
                      else shard_batch(mesh, batch))
         state, metrics = step_fn(state, batch, k_step)
         if step % args.log_every == 0 and is_main_process():
-            jax.block_until_ready(metrics["loss"])
+            # ONE device fetch for the whole metrics dict (a float() per
+            # metric costs a ~25 ms tunnel round-trip each)
+            metrics = jax.device_get(metrics)
             line = {"step": step,
                     "time": round(time.time() - t_start, 2),
                     **{k: float(v) for k, v in metrics.items()}}
