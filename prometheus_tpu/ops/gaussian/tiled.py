@@ -161,29 +161,53 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
     starts = ends - cover_o.astype(jnp.float32)   # exclusive prefix
     total = jnp.minimum(ends[-1], jnp.float32(s_max)).astype(jnp.int32)
 
-    # slot j -> position p in the ordered layout. Two equivalent decodes,
+    # slot j -> position p in the ordered layout. Equivalent decodes,
     # selectable for on-chip A/B (tools/raster_profile.py) because they
     # stress different TPU slow paths:
-    #   scan  (default): scatter each covered gaussian's position at its
-    #     range start, then a running max fills the ranges (later positions
-    #     win ties from zero-cover predecessors). The scatter has
-    #     possibly-colliding indices (dead gaussians share the sentinel), a
-    #     documented XLA:TPU slow path.
+    #   scanu (default): scatter each covered gaussian's position at its
+    #     range start, then a running max fills the ranges. Alive range
+    #     starts are strictly increasing and dead gaussians map to DISTINCT
+    #     out-of-range indices (s_max + pos, dropped), so the scatter has
+    #     provably unique indices -> ``unique_indices=True`` lets XLA:TPU
+    #     skip collision handling (the r4 on-chip profile measured the
+    #     colliding-index variant at 59 ms of an 83 ms render).
+    #   scan: same shape, but dead gaussians share the s_max sentinel —
+    #     colliding indices, a documented XLA:TPU slow path.
+    #   addcumsum: scatter the DELTA between consecutive alive positions at
+    #     each range start (unique indices, add-combiner), then a cumsum
+    #     telescopes to the owning position per slot.
     #   bsearch: p = searchsorted(ends, j, 'right') — ends is sorted
     #     (nondecreasing cumsum), so the owning gaussian of slot j is the
     #     first p with ends[p] > j; zero-width ranges can never own a slot.
-    #     ~log2(N) gather passes, no scatter.
+    #     ~log2(N) gather passes, no scatter (10x slower on-chip r4).
     pos = jnp.arange(n, dtype=jnp.int32)
-    if os.environ.get("PROMETHEUS_BIN_DECODE", "scan") == "bsearch":
+    decode = os.environ.get("PROMETHEUS_BIN_DECODE", "scanu")
+    alive = (cover_o > 0) & (starts < s_max)
+    starts_i = jnp.where(alive, starts, jnp.float32(s_max)).astype(jnp.int32)
+    if decode == "bsearch":
         j32 = jnp.arange(s_max, dtype=jnp.float32)
         p_of_slot = jnp.clip(
             jnp.searchsorted(ends, j32, side="right"), 0, n - 1
         ).astype(jnp.int32)
-    else:
-        alive = (cover_o > 0) & (starts < s_max)
-        starts_i = jnp.where(alive, starts, jnp.float32(s_max)).astype(jnp.int32)
+    elif decode == "scan":
         marks = jnp.zeros((s_max,), jnp.int32).at[
             jnp.where(alive, starts_i, s_max)].max(pos, mode="drop")
+        p_of_slot = jax.lax.associative_scan(jnp.maximum, marks)
+    elif decode == "addcumsum":
+        # previous alive position (exclusive running max over the layout);
+        # the first alive gaussian's delta is its own position (base 0).
+        run = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(alive, pos, -1))
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), run[:-1]])
+        delta = pos - jnp.maximum(prev, 0)
+        marks = jnp.zeros((s_max,), jnp.int32).at[
+            jnp.where(alive, starts_i, s_max + pos)
+        ].add(jnp.where(alive, delta, 0), mode="drop", unique_indices=True)
+        p_of_slot = jnp.cumsum(marks)
+    else:  # scanu
+        marks = jnp.zeros((s_max,), jnp.int32).at[
+            jnp.where(alive, starts_i, s_max + pos)
+        ].max(pos, mode="drop", unique_indices=True)
         p_of_slot = jax.lax.associative_scan(jnp.maximum, marks)
 
     # pack per-position decode data once -> ONE s_max-row gather (all

@@ -171,10 +171,10 @@ def test_tile_instances_slot_semantics():
 
 
 def test_bin_decode_variants_equivalent(monkeypatch):
-    """The two slot->gaussian decodes in tiled._tile_instances (scatter+scan
-    vs searchsorted over the cumsum; PROMETHEUS_BIN_DECODE) must produce
-    identical instances — they exist only as a TPU perf A/B
-    (tools/raster_profile.py)."""
+    """Every slot->gaussian decode in tiled._tile_instances (colliding
+    scatter+scan, unique-index scatter+scan, delta-scatter+cumsum,
+    searchsorted; PROMETHEUS_BIN_DECODE) must produce identical instances —
+    they exist only as a TPU perf A/B (tools/raster_profile.py)."""
     import jax
 
     from prometheus_tpu.ops.gaussian.projection import Projected
@@ -197,9 +197,10 @@ def test_bin_decode_variants_equivalent(monkeypatch):
         # exercise both the generous and the cut-mid-range budget regimes
         for s_max in (8 * n, n // 2):
             out = {}
-            for mode in ("scan", "bsearch"):
+            for mode in ("scan", "scanu", "addcumsum", "bsearch"):
                 monkeypatch.setenv("PROMETHEUS_BIN_DECODE", mode)
                 out[mode] = [np.asarray(a) for a in _tile_instances(
                     proj, ts, gw, gh, (8, 8), s_max, opacities=op)]
-            for a, b in zip(out["scan"], out["bsearch"]):
-                assert (a == b).all()
+            for mode in ("scanu", "addcumsum", "bsearch"):
+                for a, b in zip(out["scan"], out[mode]):
+                    assert (a == b).all(), mode

@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--tile_size", type=int, default=16)
     ap.add_argument("--capacity", type=int, default=1024)
     ap.add_argument("--out", default="raster_profile.json")
+    ap.add_argument("--fast", action="store_true",
+                    help="skip the known-slow bsearch variants (saves two "
+                         "tunnel compiles when iterating on the winner)")
     args = ap.parse_args()
 
     import jax
@@ -100,12 +103,14 @@ def main():
     timings["project_ms"] = time_stage(proj_fn, (), args.reps) * 1e3
     proj = jax.block_until_ready(proj_fn())
 
-    # --- stage: binning expansion, both slot decodes ---
+    # --- stage: binning expansion, all slot decodes ---
     # PROMETHEUS_BIN_DECODE is read at TRACE time, so each variant needs its
     # own traced program; jitting through a distinct wrapper per mode keeps
-    # the two cache entries separate.
+    # the cache entries separate.
     expand = {}
-    for mode in ("scan", "bsearch"):
+    modes = ("scanu", "addcumsum", "scan") if args.fast \
+        else ("scanu", "addcumsum", "scan", "bsearch")
+    for mode in modes:
         os.environ["PROMETHEUS_BIN_DECODE"] = mode
 
         def _expand(p, o, _mode=mode):   # _mode: distinct trace per variant
@@ -117,7 +122,92 @@ def main():
             fn, (proj, opac), args.reps) * 1e3
         expand[mode] = jax.block_until_ready(fn(proj, opac))
     os.environ.pop("PROMETHEUS_BIN_DECODE", None)
-    tile_id, depth_key, gauss_idx = expand["scan"]
+    tile_id, depth_key, gauss_idx = expand[modes[0]]
+
+    # --- expand sub-stages (where do the ms go inside _tile_instances?) ---
+    # Isolated jits lose cross-stage fusion, so these are indicative, not
+    # additive-to-the-total; they answer "scatter+scan vs gather+cull".
+    from prometheus_tpu.ops.gaussian.tiled import _clamped_windows
+    import jax.numpy as _jnp
+
+    def _prefix(p, o):
+        ex0, ey0, wx, wy = _clamped_windows(p, ts, grid_w, grid_h, max_tiles)
+        cover = _jnp.where(p.valid, wx * wy, 0).astype(_jnp.int32)
+        op = jax.lax.stop_gradient(o).astype(_jnp.float32)
+        _, order = jax.lax.sort((-_jnp.where(_jnp.isfinite(op), op, 0.0),
+                                 _jnp.arange(p.mean2d.shape[0],
+                                             dtype=_jnp.int32)),
+                                num_keys=1)
+        cover_o = cover[order]
+        ends = _jnp.cumsum(cover_o.astype(_jnp.float32))
+        return ends - cover_o.astype(_jnp.float32), cover_o, order
+
+    pre_fn = jax.jit(_prefix)
+    timings["sub_prefix_ms"] = time_stage(pre_fn, (proj, opac),
+                                          args.reps) * 1e3
+    starts, cover_o, order = jax.block_until_ready(pre_fn(proj, opac))
+    n = int(proj.mean2d.shape[0])
+
+    def _decode_scanu(st, cov):
+        pos = _jnp.arange(n, dtype=_jnp.int32)
+        alive = (cov > 0) & (st < s_max)
+        st_i = _jnp.where(alive, st, _jnp.float32(s_max)).astype(_jnp.int32)
+        marks = _jnp.zeros((s_max,), _jnp.int32).at[
+            _jnp.where(alive, st_i, s_max + pos)
+        ].max(pos, mode="drop", unique_indices=True)
+        return jax.lax.associative_scan(_jnp.maximum, marks)
+
+    def _decode_scan(st, cov):
+        pos = _jnp.arange(n, dtype=_jnp.int32)
+        alive = (cov > 0) & (st < s_max)
+        st_i = _jnp.where(alive, st, _jnp.float32(s_max)).astype(_jnp.int32)
+        marks = _jnp.zeros((s_max,), _jnp.int32).at[
+            _jnp.where(alive, st_i, s_max)].max(pos, mode="drop")
+        return jax.lax.associative_scan(_jnp.maximum, marks)
+
+    dec_u = jax.jit(_decode_scanu)
+    timings["sub_decode_scanu_ms"] = time_stage(
+        dec_u, (starts, cover_o), args.reps) * 1e3
+    if not args.fast:
+        dec_c = jax.jit(_decode_scan)
+        timings["sub_decode_scan_ms"] = time_stage(
+            dec_c, (starts, cover_o), args.reps) * 1e3
+    p_of_slot = jax.block_until_ready(dec_u(starts, cover_o))
+
+    def _gather_cull(p, o, st, ordr, pslot):
+        ex0, ey0, wx, wy = _clamped_windows(p, ts, grid_w, grid_h, max_tiles)
+        cols = [st.astype(_jnp.float32),
+                ex0[ordr].astype(_jnp.float32),
+                ey0[ordr].astype(_jnp.float32),
+                _jnp.maximum(wx[ordr], 1).astype(_jnp.float32),
+                _jnp.where(_jnp.isfinite(p.depth[ordr]), p.depth[ordr], 0.0),
+                ordr.astype(_jnp.float32)]
+        mean_o = jax.lax.stop_gradient(p.mean2d)[ordr]
+        conic_o = jax.lax.stop_gradient(p.conic)[ordr]
+        op_o = jax.lax.stop_gradient(o)[ordr].astype(_jnp.float32)
+        from prometheus_tpu.ops.gaussian.naive import ALPHA_CUTOFF
+        q_cut = _jnp.log(_jnp.maximum(op_o, 1e-12) / ALPHA_CUTOFF)
+        cols += [mean_o[:, 0], mean_o[:, 1], conic_o[:, 0], conic_o[:, 1],
+                 conic_o[:, 2], q_cut]
+        deco = _jnp.stack(cols, axis=1)
+        rows = deco[pslot]
+        j = _jnp.arange(s_max, dtype=_jnp.int32)
+        l = j - rows[:, 0].astype(_jnp.int32)
+        w_i = rows[:, 3].astype(_jnp.int32)
+        ty = rows[:, 2].astype(_jnp.int32) + l // w_i
+        tx = rows[:, 1].astype(_jnp.int32) + l % w_i
+        ts_f = _jnp.float32(ts)
+        x0 = tx.astype(_jnp.float32) * ts_f
+        y0 = ty.astype(_jnp.float32) * ts_f
+        min_sig = tiled._rect_min_sigma(rows[:, 6], rows[:, 7], rows[:, 8],
+                                        rows[:, 9], rows[:, 10],
+                                        x0, y0, x0 + ts_f, y0 + ts_f)
+        ok = min_sig <= rows[:, 11]
+        return _jnp.where(ok, ty * grid_w + tx, grid_w * grid_h)
+
+    gc_fn = jax.jit(_gather_cull)
+    timings["sub_gather_cull_ms"] = time_stage(
+        gc_fn, (proj, opac, starts, order, p_of_slot), args.reps) * 1e3
 
     # --- stage: fused-key sort ---
     sort_fn = jax.jit(
@@ -170,8 +260,10 @@ def main():
         "s_max": int(s_max), "capacity": args.capacity, "reps": args.reps,
         "timings_ms": {k: round(v, 3) for k, v in timings.items()},
         "fps_pallas": round(1e3 / timings["e2e_pallas_ms"], 1),
-        "decode_winner": ("bsearch" if timings["expand_bsearch_ms"]
-                          < timings["expand_scan_ms"] else "scan"),
+        "decode_winner": min(
+            (m for m in ("scanu", "addcumsum", "scan", "bsearch")
+             if f"expand_{m}_ms" in timings),
+            key=lambda m: timings[f"expand_{m}_ms"]),
     }
     with open(args.out, "w") as fp:
         json.dump(result, fp, indent=2)
