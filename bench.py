@@ -42,13 +42,72 @@ def _log(msg: str):
 # bench inside such a phase, hanging forever loses the round artifact —
 # instead a watchdog emits whatever stages completed as ONE valid JSON line
 # (flagged "deadline_hit") and exits. BENCH_DEADLINE=0 disables.
+#
+# Round-4 lesson: the driver killed the process BEFORE the watchdog fired
+# (rc=124, parsed=null — no artifact at all). The partial result must not
+# depend on outliving the driver: _checkpoint() persists the current partial
+# JSON to disk after EVERY completed stage, and a SIGTERM handler prints it
+# to stdout at kill time so the driver's last-line parse still succeeds.
 _PARTIAL: dict = {"stage": "init"}
+_PARTIAL_PATH = os.environ.get(
+    "BENCH_PARTIAL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_partial.json"))
+
+
+def _partial_payload(flag: str) -> dict:
+    best = _PARTIAL.get("best_e2e_s")
+    return {
+        "metric": "text_to_3dgs_seconds_e2e",
+        "value": round(best, 3) if best else -1.0,
+        "unit": "s",
+        "vs_baseline": round(5.0 / best, 3) if best else 0.0,
+        "extra": {flag: True, **_PARTIAL},
+    }
+
+
+def _checkpoint(**updates):
+    """Record stage progress: update _PARTIAL and persist it to disk.
+
+    A driver kill (even SIGKILL) at any moment leaves a valid artifact with
+    every completed stage in ``bench_partial.json``.
+    """
+    _PARTIAL.update(**updates)
+    try:
+        tmp = _PARTIAL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_partial_payload("partial"), f)
+        os.replace(tmp, _PARTIAL_PATH)
+    except OSError:
+        pass
+
+
+def _install_kill_handler():
+    """Print the partial artifact on SIGTERM (the driver's timeout signal)."""
+    import signal
+
+    def onterm(signum, frame):
+        _log(f"bench: signal {signum} at stage '{_PARTIAL.get('stage')}' — "
+             "emitting partial result")
+        print(json.dumps(_partial_payload("killed")), flush=True)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        try:
+            signal.signal(sig, onterm)
+        except (ValueError, OSError):
+            pass
 
 
 def _start_deadline_watchdog():
     import threading
 
-    deadline = float(os.environ.get("BENCH_DEADLINE", "7200"))
+    # 3300 s: above a healthy full run (~1500 s incl. init+compile), and —
+    # unlike r4's 7200 s default — comfortably inside the driver's kill
+    # window, so the watchdog THREAD (which fires even when the main thread
+    # is blocked inside a hung native tunnel compile, where a signal handler
+    # cannot preempt) emits the partial artifact before the driver gives up.
+    deadline = float(os.environ.get("BENCH_DEADLINE", "3300"))
     if deadline <= 0:
         return
 
@@ -56,14 +115,7 @@ def _start_deadline_watchdog():
         _log(f"bench: DEADLINE {deadline:.0f}s hit at stage "
              f"'{_PARTIAL.get('stage')}' (degraded tunnel?) — emitting "
              "partial result")
-        best = _PARTIAL.get("best_e2e_s")
-        print(json.dumps({
-            "metric": "text_to_3dgs_seconds_e2e",
-            "value": round(best, 3) if best else -1.0,
-            "unit": "s",
-            "vs_baseline": round(5.0 / best, 3) if best else 0.0,
-            "extra": {"deadline_hit": True, **_PARTIAL},
-        }), flush=True)
+        print(json.dumps(_partial_payload("deadline_hit")), flush=True)
         os._exit(0)
 
     t = threading.Timer(deadline, fire)
@@ -90,13 +142,7 @@ def _probe_tunnel():
     def fire():
         _log(f"bench: tunnel probe exceeded {limit:.0f}s — degraded "
              "backend, emitting partial result")
-        print(json.dumps({
-            "metric": "text_to_3dgs_seconds_e2e",
-            "value": -1.0,
-            "unit": "s",
-            "vs_baseline": 0.0,
-            "extra": {"tunnel_degraded": True, **_PARTIAL},
-        }), flush=True)
+        print(json.dumps(_partial_payload("tunnel_degraded")), flush=True)
         os._exit(0)
 
     t = threading.Timer(limit, fire)
@@ -107,7 +153,7 @@ def _probe_tunnel():
     jax.device_get(y.ravel()[0:1])
     t.cancel()
     probe_s = time.time() - t0
-    _PARTIAL["probe_s"] = round(probe_s, 1)
+    _checkpoint(probe_s=round(probe_s, 1))
     _log(f"bench: tunnel probe OK in {probe_s:.1f}s")
 
 
@@ -317,6 +363,7 @@ def main():
     from prometheus_tpu.utils.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    _install_kill_handler()
     _start_deadline_watchdog()
     # chip-free stage FIRST: host data-plane throughput (native C++ vs
     # pure-python transform). jax-free subprocess, so the artifact carries a
@@ -333,7 +380,7 @@ def main():
                  "--scenes", "4", "--frames", "12", "--seconds", "8"],
                 capture_output=True, text=True, timeout=600)
             loader = json.loads(r.stdout.strip().splitlines()[-1])
-            _PARTIAL["loader"] = loader
+            _checkpoint(loader=loader)
             _log(f"bench: loader {loader.get('images_per_s_native')} img/s "
                  f"native, {loader.get('images_per_s_python')} python")
         except Exception as e:  # never let the host stage sink the bench
@@ -369,12 +416,15 @@ def main():
                 "print(json.dumps(out))\n")
             r = subprocess.run([_sys.executable, "-c", code],
                                capture_output=True, text=True, timeout=900)
+            if not r.stdout.strip():  # crash/OOM: surface the real error
+                raise RuntimeError(
+                    f"rc={r.returncode} stderr tail: {r.stderr[-300:]}")
             q = json.loads(r.stdout.strip().splitlines()[-1])
-            _PARTIAL["quality_cpu_trained_stats_512"] = q
+            _checkpoint(quality_cpu_trained_stats_512=q)
             _log(f"bench: CPU quality vs exact {q}")
         except Exception as e:  # never let the host stage sink the bench
             _log(f"bench: CPU quality stage failed ({e})")
-    _PARTIAL["stage"] = "tunnel_probe"
+    _checkpoint(stage="tunnel_probe")
     _probe_tunnel()
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     # 100 denoise steps = the reference inference config
@@ -388,7 +438,7 @@ def main():
     pipe, init_s = build_flagship(small)
     image_size = pipe.mvldm.model.image_size
     _log(f"bench: init done in {init_s:.1f}s; warm-up (compiles)...")
-    _PARTIAL.update(stage="warmup", init_s=round(init_s, 1))
+    _checkpoint(stage="warmup", init_s=round(init_s, 1))
 
     if os.environ.get("BENCH_E2E", "1") == "0":
         # train-step-only mode (debug/iteration): skip the e2e pipeline
@@ -405,7 +455,7 @@ def main():
              image_size=image_size)  # warm-up: includes all compiles
     compile_s = time.time() - t0
     _log(f"bench: warm-up done in {compile_s:.1f}s; measuring...")
-    _PARTIAL.update(stage="measuring", compile_s=round(compile_s, 1))
+    _checkpoint(stage="measuring", compile_s=round(compile_s, 1))
 
     times = []
     result = None
@@ -424,7 +474,7 @@ def main():
         result = run_once(pipe, jax.random.PRNGKey(100 + i), steps=steps,
                           render_size=render_size, image_size=image_size)
         times.append(time.time() - t0)
-        _PARTIAL["best_e2e_s"] = min(times)
+        _checkpoint(best_e2e_s=min(times))
     best = min(times)
 
     # STAGE ORDER (degraded-tunnel resilience): everything that REUSES the
@@ -441,7 +491,7 @@ def main():
     # quality vs the EXACT compositor at production density (VERDICT r2
     # weak #1): random-tile-subset PSNR for the quality-default and fast
     # capacities, on this scene AND a trained-statistics synthetic scene
-    _PARTIAL["stage"] = "quality"
+    _checkpoint(stage="quality")
     quality = {}
     try:
         from prometheus_tpu.ops.gaussian.quality import (
@@ -526,8 +576,8 @@ def main():
     except Exception as e:
         _log(f"bench: overflow stats failed ({e})")
 
-    _PARTIAL.update(stage="train_step", render_fps=round(render_fps, 1),
-                    tile_overflow=overflow, **quality)
+    _checkpoint(stage="train_step", render_fps=round(render_fps, 1),
+                tile_overflow=overflow, **quality)
     train_extra = {}
     if bench_train:
         _log("bench: training-step benchmark (compile)...")
@@ -544,7 +594,7 @@ def main():
                                          "train_examples_per_s")})
         except Exception as e:
             _log(f"bench: bs2 train-step bench failed ({e})")
-        _PARTIAL.update(**train_extra)
+        _checkpoint(**train_extra)
 
     # ---- compile-heavy optional extras (LAST; see stage-order note) ----
     # fast-render mode: capacity-512 worklists (depth-ordered truncation
@@ -552,7 +602,7 @@ def main():
     # scene with the full default instance budget — fast_psnr_vs_exact_db
     # above records it per round). Reported alongside, not as, the primary
     # quality-default number.
-    _PARTIAL["stage"] = "fast_render"
+    _checkpoint(stage="fast_render")
     run_once(pipe, jax.random.PRNGKey(last_key), steps=steps,
              render_size=render_size, image_size=image_size,
              render_cap=512)                   # warm-up: cap-512 compile
@@ -565,8 +615,8 @@ def main():
     b = np.asarray(result["images_gs_render"], np.float32)
     mse = float(np.mean((a - b) ** 2))
     fast_psnr = 10.0 * np.log10(4.0 / max(mse, 1e-12))
-    _PARTIAL.update(e2e_fast_render_s=round(fast_s, 3),
-                    fast_render_psnr_db=round(fast_psnr, 1))
+    _checkpoint(e2e_fast_render_s=round(fast_s, 3),
+                fast_render_psnr_db=round(fast_psnr, 1))
 
     # optional CFG-interval fast mode datapoint (guidance on the first
     # BENCH_CFG_FRAC of steps only; NOT the primary metric — the primary
@@ -592,7 +642,7 @@ def main():
     dpm_steps = os.environ.get("BENCH_DPMPP", "30")  # "" disables
     if dpm_steps:
         ns = int(dpm_steps)
-        _PARTIAL["stage"] = f"dpmpp_{ns}"
+        _checkpoint(stage=f"dpmpp_{ns}")
         run_once(pipe, jax.random.PRNGKey(last_key), steps=ns,
                  render_size=render_size, image_size=image_size,
                  sampler="dpmpp_2m")            # warm-up compile

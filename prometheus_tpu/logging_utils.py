@@ -64,6 +64,38 @@ class MetricLogger:
 
             self._wandb.log({name: wandb.Image(image)}, step=step)
 
+    def log_gif(self, name: str, frames, step: int,
+                duration_ms: int = 100):
+        """frames: sequence of uint8 (H, W, 3) — e.g. the per-view sweep of
+        a training snapshot (reference ``GifVisualizer`` analog)."""
+        if not self.rank_zero:
+            return
+        from prometheus_tpu.utils.image import save_gif
+
+        safe = name.replace("/", "_")
+        path = os.path.join(self.log_dir, "snapshots",
+                            f"{step:09d}_{safe}.gif")
+        save_gif(frames, path, duration_ms=duration_ms)
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log(
+                {name: wandb.Video(path, format="gif")}, step=step)
+
+    def log_grid(self, name: str, rows, step: int, spacing: int = 2):
+        """rows: list of lists of uint8 (H, W, 3) — e.g. [gt_views,
+        pred_views, depth_views] (reference ``GridVisualizer`` analog)."""
+        if not self.rank_zero:
+            return
+        from prometheus_tpu.utils.image import ImageGrid
+
+        grid = ImageGrid(len(rows), max(len(r) for r in rows),
+                         spacing=spacing)
+        for i, row in enumerate(rows):
+            for j, img in enumerate(row):
+                grid.add(i, j, img)
+        self.log_image(name, grid.compose(), step)
+
     def finish(self):
         if self._wandb is not None:
             self._wandb.finish()

@@ -44,6 +44,12 @@ class MVLDMSystem:
     # 'continuous' -> t_cond = 0.25*log(sigma) (the flagship vpred config);
     # 'discrete'   -> t_cond = nearest integer training timestep in [0, 1000)
     timestep_type: str = "continuous"
+    # sigma-bucketed loss logging: log10(sigma) bucket edges. The per-step
+    # train loss varies ~25x with the drawn sigma alone, so the raw curve is
+    # unreadable; per-bucket (sum, count) metric pairs let downstream plot
+    # per-bucket means. Edges span the v-pred (sigma_max 80) and high-noise
+    # (sigma_max 1e4) training ranges.
+    sigma_bucket_edges: tuple = (-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0)
 
     # -- conditioning ---------------------------------------------------------
     def _pose_embeddings(self, cameras: jax.Array, h: int, w: int,
@@ -633,6 +639,33 @@ class MVLDMSystem:
         loss = lambda_mse * loss_mse + lambda_mse_depth * loss_mse_depth
         metrics = {"loss_mv_latent_mse": loss_mse,
                    "loss_mv_latent_mse_depth": loss_mse_depth}
+
+        # sigma-BUCKETED loss sums/counts: the per-step loss varies ~25x
+        # with the drawn sigma alone (r4's 500-step curve spiked 0.55 -> 13.5
+        # on sigma variance, unreadable as a convergence signal); per-bucket
+        # (sum, count) pairs make the JSONL curve interpretable — downstream
+        # divides sum by count per bucket, so accum/mesh averaging of both
+        # keeps the ratio exact. Buckets are log10(sigma) edges spanning the
+        # EDM/v-pred training range.
+        err = (lambda_mse * (x0_pred[:, :, 0:4] - x0[:, :, 0:4]) ** 2).sum(2) \
+            + (lambda_mse_depth
+               * (x0_pred[:, :, 4:8] - x0[:, :, 4:8]) ** 2).sum(2)
+        per_scene = jnp.sum(wgt[:, :, 0] * err * tgt[:, :, 0],
+                            axis=(1, 2, 3))                     # (B,)
+        per_scene_n = jnp.sum(jnp.broadcast_to(tgt[:, :, 0], err.shape),
+                              axis=(1, 2, 3))
+        if vidx is not None:
+            per_scene = jax.lax.psum(per_scene, view_axis)
+            per_scene_n = jax.lax.psum(per_scene_n, view_axis)
+        per_scene = per_scene / (jnp.maximum(per_scene_n, 1.0) / 4.0)
+        log_sig = jnp.log10(jnp.maximum(sigmas, 1e-8))
+        edges = jnp.asarray(self.sigma_bucket_edges)
+        bkt = jnp.searchsorted(edges, log_sig)                  # (B,)
+        for k in range(len(self.sigma_bucket_edges) + 1):
+            in_k = (bkt == k).astype(jnp.float32)
+            metrics[f"loss_sig_b{k}_sum"] = jnp.sum(
+                per_scene.astype(jnp.float32) * in_k)
+            metrics[f"loss_sig_b{k}_cnt"] = jnp.sum(in_k)
         if return_aux:
             return loss, metrics, {"x0_pred": x0_pred}
         return loss, metrics

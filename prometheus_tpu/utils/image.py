@@ -67,6 +67,79 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def save_gif(frames, path: str, duration_ms: int = 100, loop: int = 0,
+             size: tuple[int, int] | None = None) -> str:
+    """Animated-GIF export of an image collection (training snapshots).
+
+    Parity target: the reference's ``GifVisualizer``
+    (``/root/reference/prometheus/utils/visualizers/gif_visualizer.py:14-79``
+    — per-frame resize to a fixed size, configurable frame duration and
+    loop count). ``frames``: iterable of uint8 (H, W, 3); ``size``:
+    optional (height, width) to resize every frame to. Returns ``path``.
+    """
+    imgs = []
+    for f in frames:
+        im = Image.fromarray(np.asarray(f, np.uint8))
+        if size is not None and im.size != (size[1], size[0]):
+            im = im.resize((size[1], size[0]), Image.LANCZOS)
+        imgs.append(im)
+    imgs[0].save(path, format="GIF", save_all=True, append_images=imgs[1:],
+                 duration=duration_ms, loop=loop)
+    return path
+
+
+class ImageGrid:
+    """Cell-addressable grid compositor for training/eval snapshots.
+
+    Parity target: the reference's ``GridVisualizer``
+    (``/root/reference/prometheus/utils/visualizers/grid_visualizer.py:15-234``
+    — stitch a (rows x cols) collection with inter-image spacing and a
+    white/black background, filling cells one by one). Cells are sized to
+    the first image added (later images are resized to fit).
+
+        grid = ImageGrid(num_rows, num_cols, spacing=2)
+        grid.add(i, j, image)   # uint8 (H, W, 3)
+        grid.save("snap.png")   # or: arr = grid.compose()
+    """
+
+    def __init__(self, num_rows: int, num_cols: int, spacing: int = 0,
+                 background: int = 255,
+                 cell_size: tuple[int, int] | None = None):
+        assert num_rows > 0 and num_cols > 0
+        self.num_rows, self.num_cols = num_rows, num_cols
+        self.spacing, self.background = spacing, background
+        self.cell_size = cell_size          # (H, W), lazily set by first add
+        self._cells: dict[tuple[int, int], np.ndarray] = {}
+
+    def add(self, row: int, col: int, image) -> None:
+        assert 0 <= row < self.num_rows and 0 <= col < self.num_cols
+        arr = np.asarray(image, np.uint8)
+        assert arr.ndim == 3 and arr.shape[-1] == 3, arr.shape
+        if self.cell_size is None:
+            self.cell_size = arr.shape[:2]
+        if tuple(arr.shape[:2]) != tuple(self.cell_size):
+            im = Image.fromarray(arr).resize(
+                (self.cell_size[1], self.cell_size[0]), Image.LANCZOS)
+            arr = np.asarray(im)
+        self._cells[(row, col)] = arr
+
+    def compose(self) -> np.ndarray:
+        assert self.cell_size is not None, "empty grid"
+        h, w = self.cell_size
+        s = self.spacing
+        out = np.full((self.num_rows * (h + s) - s,
+                       self.num_cols * (w + s) - s, 3),
+                      self.background, np.uint8)
+        for (r, c), img in self._cells.items():
+            out[r * (h + s):r * (h + s) + h,
+                c * (w + s):c * (w + s) + w] = img
+        return out
+
+    def save(self, path: str) -> str:
+        save_image(self.compose(), path)
+        return path
+
+
 def save_video(frames: np.ndarray, path: str, fps: int = 30) -> str:
     """(T, H, W, 3) uint8 -> mp4 (imageio/ffmpeg if available) or an
     animated GIF fallback; returns the actual path written."""

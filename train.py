@@ -495,17 +495,30 @@ def main():
                 batch["text_emb"][:1], batch["uncond_text_emb"][:1],
                 num_inference_steps=20, latent_hw=hw)
             imgs, deps = system.decode_images_and_depths(p, lat)
-            grid = make_grid(postprocess_image(np.asarray(imgs[0])))
-            logger.log_image("val_mv_images", grid, step)
+            views = postprocess_image(np.asarray(imgs[0]))
+            logger.log_image("val_mv_images", make_grid(views), step)
+            # per-view sweep as a GIF (reference GifVisualizer's role in
+            # training snapshots: flip through the views of one scene)
+            logger.log_gif("val_mv_views", list(views), step,
+                           duration_ms=200)
         elif args.stage == "gsdecoder":
+            from prometheus_tpu.utils.image import colorize_depth
+
             variables = {"params": p, **state.model_state}
             out = system.inference(
                 variables, batch["images_mv"][:1, :n_in],
                 batch["depths_mv"][:1, :n_in], batch["cameras_mv"][:1, :n_in],
                 batch["cameras_mv"][:1, n_in:])
-            grid = make_grid(
-                postprocess_image(np.asarray(out["images_nv_pred"][0])))
-            logger.log_image("val_nvs_renders", grid, step)
+            pred = postprocess_image(np.asarray(out["images_nv_pred"][0]))
+            gt = postprocess_image(
+                np.asarray(batch["images_mv"][0, n_in:]))
+            dep = colorize_depth(np.asarray(out["depths_nv_pred"][0, :, 0])) \
+                if "depths_nv_pred" in out else None
+            rows = [list(gt), list(pred)] + ([list(dep)] if dep is not None
+                                             else [])
+            # gt / pred (/ depth) rows in one labeled grid (reference
+            # GridVisualizer's role in training snapshots)
+            logger.log_grid("val_nvs_renders", rows, step)
         else:  # trajdit: sampled trajectory frusta plot
             from prometheus_tpu.utils.visualization import plot_cameras_png
 
