@@ -32,8 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .naive import ALPHA_CUTOFF, MAX_ALPHA
 from .projection import Projected
-from .tiled import (_tile_instances, default_instance_budget,
-                    sort_tile_instances)
+from .tiled import default_instance_budget, sorted_instances
 
 CHUNK = 128
 # f32-accurate MXU passes: the default bf16 input rounding of the MXU puts
@@ -62,11 +61,9 @@ def sorted_tile_segments(proj: Projected, img_h, img_w, tile_size, capacity,
     n_tiles = grid_h * grid_w
     if s_max is None:
         s_max = default_instance_budget(proj.mean2d.shape[0])
-    tile_id, depth_key, gauss_idx = _tile_instances(
+    sorted_tile, sorted_gauss = sorted_instances(
         proj, tile_size, grid_w, grid_h, max_tiles, s_max,
         opacities=opacities)
-    sorted_tile, sorted_gauss = sort_tile_instances(
-        tile_id, depth_key, gauss_idx, n_tiles)
     r = jnp.arange(n_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, r).astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, r, side="right")

@@ -102,6 +102,243 @@ def _rect_min_sigma(mx, my, ca, cb, cc, x0, y0, x1, y1):
     return jnp.where(inside, 0.0, edge_min)
 
 
+# Forward-scatter tier plan: ``(k_hi, B)`` — candidate window-tile indices
+# ``[k_lo, k_hi)`` are emitted for the ``B`` largest-window gaussians (None =
+# all). Sized from the trained-statistics scene at 512^2/524k (area>16:
+# 9.8k, >128: 4.7k, >512: 360 gaussians; max 1024 at the (32,32) clamp) with
+# ~2x headroom; a scene with more big splats than a tier's B drops those
+# splats' outer tiles only (the same graceful budget-cut semantics as
+# ``s_max``; ``tile_overflow_stats`` reports violations).
+_FSCATTER_TIERS: tuple[tuple[int, int | None], ...] = (
+    (16, None), (128, 16384), (512, 8192), (1024, 1024))
+
+
+def _tile_instances_fscatter(proj: Projected, tile_size: int, grid_w: int,
+                             grid_h: int, max_tiles: tuple[int, int],
+                             s_max: int,
+                             opacities: jax.Array | None = None):
+    """Forward-scatter expansion — same slot layout as ``_tile_instances``
+    (descending-opacity ranges from an area cumsum), built WITHOUT the
+    O(s_max) slot->gaussian decode: each live (gaussian, window-tile)
+    candidate scatters its ``(tile_id, depth, gauss)`` payload directly into
+    its slot. The exact per-tile cull runs per CANDIDATE (N x 16 + a few
+    B x K tiers for big splats) instead of per SLOT (s_max = 6N), and the
+    (s_max, 12) decode gather disappears; dead slots keep the buffer's
+    sentinel and sort to the end. Per-slot output is identical to the
+    scan-decode modes on ``tile_id`` everywhere and on ``(depth, gauss)``
+    at every live slot (sentinel slots carry junk there, as they do in the
+    scan modes; the compositors never read them)."""
+    n = proj.mean2d.shape[0]
+    assert s_max < (1 << 24) - (1 << 11) and n < (1 << 24), (
+        f"instance budget {s_max} / N {n} exceed f32-exact integer range")
+    ex0, ey0, wx, wy = _clamped_windows(proj, tile_size, grid_w, grid_h,
+                                        max_tiles)
+    cover = jnp.where(proj.valid, wx * wy, 0).astype(jnp.int32)
+
+    if opacities is None:
+        order = jnp.arange(n, dtype=jnp.int32)
+    else:
+        op = jax.lax.stop_gradient(opacities).astype(jnp.float32)
+        _, order = jax.lax.sort((-jnp.where(jnp.isfinite(op), op, 0.0),
+                                 jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    cover_o = cover[order]
+    ends = jnp.cumsum(cover_o.astype(jnp.float32))   # f32: exact < 2^24
+    starts = ends - cover_o.astype(jnp.float32)
+
+    # per-position packed columns (opacity-ordered layout)
+    cols = [
+        starts,
+        ex0[order].astype(jnp.float32),
+        ey0[order].astype(jnp.float32),
+        jnp.maximum(wx[order], 1).astype(jnp.float32),
+        cover_o.astype(jnp.float32),
+        jnp.where(jnp.isfinite(proj.depth[order]), proj.depth[order], 0.0),
+        order.astype(jnp.float32),
+    ]
+    if opacities is not None:
+        mean_o = jax.lax.stop_gradient(proj.mean2d)[order]
+        conic_o = jax.lax.stop_gradient(proj.conic)[order]
+        op_o = jax.lax.stop_gradient(opacities)[order].astype(jnp.float32)
+        q_cut = jnp.log(jnp.maximum(op_o, 1e-12) / ALPHA_CUTOFF)
+        cols += [mean_o[:, 0], mean_o[:, 1], conic_o[:, 0], conic_o[:, 1],
+                 conic_o[:, 2], q_cut]
+    packed = jnp.stack(cols, axis=1)                 # (N, 7 or 13)
+
+    # big-splat tier selection: positions ordered by descending window area
+    _, area_order = jax.lax.sort(
+        (-cover_o.astype(jnp.float32), jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1)
+
+    k_cap = max_tiles[0] * max_tiles[1]
+    sentinel_tile = jnp.float32(grid_w * grid_h)
+    ts_f = jnp.float32(tile_size)
+    idx_parts, val_parts = [], []
+    cand_base = 0
+    k_lo = 0
+    for k_hi, tier_b in _FSCATTER_TIERS:
+        k_hi = min(k_hi, k_cap)
+        if k_hi <= k_lo:
+            continue
+        tier_b = _tier_b_eff(tier_b, n)
+        if tier_b is None:
+            rows = packed                            # all positions
+        else:
+            rows = packed[area_order[:tier_b]]
+        b = rows.shape[0]
+        k = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]   # (1, K)
+        w_i = rows[:, 3:4].astype(jnp.int32)                    # (B, 1)
+        tx = rows[:, 1:2].astype(jnp.int32) + k % w_i           # (B, K)
+        ty = rows[:, 2:3].astype(jnp.int32) + k // w_i
+        slot_f = rows[:, 0:1] + k.astype(jnp.float32)           # exact < 2^24
+        live = (k < rows[:, 4:5].astype(jnp.int32)) & (slot_f < s_max)
+        if opacities is not None:
+            x0 = tx.astype(jnp.float32) * ts_f
+            y0 = ty.astype(jnp.float32) * ts_f
+            min_sig = _rect_min_sigma(
+                rows[:, 7:8], rows[:, 8:9], rows[:, 9:10], rows[:, 10:11],
+                rows[:, 11:12], x0, y0, x0 + ts_f, y0 + ts_f)
+            live = live & (min_sig <= rows[:, 12:13])
+        cand_id = cand_base + jnp.arange(b * (k_hi - k_lo),
+                                         dtype=jnp.int32).reshape(b, -1)
+        idx = jnp.where(live, slot_f.astype(jnp.int32), s_max + cand_id)
+        vals = jnp.stack(
+            [(ty * grid_w + tx).astype(jnp.float32),
+             jnp.broadcast_to(rows[:, 5:6], tx.shape),
+             jnp.broadcast_to(rows[:, 6:7], tx.shape)], axis=-1)
+        idx_parts.append(idx.reshape(-1))
+        val_parts.append(vals.reshape(-1, 3))
+        cand_base += b * (k_hi - k_lo)
+        k_lo = k_hi
+
+    buf = jnp.concatenate(
+        [jnp.full((s_max, 1), sentinel_tile, jnp.float32),
+         jnp.zeros((s_max, 2), jnp.float32)], axis=1)
+    # live slots are globally unique (disjoint ranges x disjoint k windows),
+    # dead candidates get distinct out-of-range ids -> drop; unique indices
+    # let XLA:TPU skip collision handling
+    buf = buf.at[jnp.concatenate(idx_parts)].set(
+        jnp.concatenate(val_parts), mode="drop", unique_indices=True)
+    return (buf[:, 0].astype(jnp.int32), buf[:, 1],
+            buf[:, 2].astype(jnp.int32))
+
+
+# Candidate-sort tier plan (``csort`` decode): tighter than the fscatter
+# plan because no slot layout exists — candidate count IS the sort length.
+# Sized from the same trained-stats distribution (area>4: 42k, >16: 9.8k,
+# >64: 7.3k, >256: 1.8k) with ~1.5x headroom: ~6.1M candidates at 524k
+# gaussians vs the 3.1M-slot budget the scan decodes sweep.
+_CSORT_TIERS: tuple[tuple[int, int | None], ...] = (
+    (4, None), (16, 65536), (64, 16384), (256, 12288), (1024, 3072))
+
+
+def _tier_b_eff(tier_b: int | None, n: int) -> int | None:
+    """Tier selection size at scene size ``n``: the plans are sized for the
+    524k-gaussian production density, and the big-splat population scales
+    roughly with the scene, so scale ``B`` proportionally (floor 256 keeps
+    tiny scenes exact; growth above 524k keeps huge scenes covered)."""
+    if tier_b is None:
+        return None
+    return min(n, max(256, tier_b * n // 524288))
+
+
+def _candidate_instances(proj: Projected, tile_size: int, grid_w: int,
+                         grid_h: int, max_tiles: tuple[int, int],
+                         opacities: jax.Array | None = None):
+    """Tiered (gaussian, window-tile) candidate expansion WITHOUT slots:
+    returns flat ``(tile_id, depth, gauss_idx)`` of static length
+    sum(B_t * K_t) — dead candidates carry the sentinel tile id and sink in
+    the sort. No instance budget exists (every covered tile of every
+    selected gaussian is emitted), so unlike the slot-layout modes there is
+    NO s_max cut: the only drop is a splat ranked below a tier's ``B`` by
+    window area losing its tiles beyond that tier's ``k`` range
+    (``tile_overflow_stats`` reports it; zero on the trained-stats scene).
+    """
+    n = proj.mean2d.shape[0]
+    ex0, ey0, wx, wy = _clamped_windows(proj, tile_size, grid_w, grid_h,
+                                        max_tiles)
+    area = jnp.where(proj.valid, wx * wy, 0).astype(jnp.int32)
+    _, area_order = jax.lax.sort(
+        (-area.astype(jnp.float32), jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1)
+
+    cols = [
+        ex0.astype(jnp.float32),
+        ey0.astype(jnp.float32),
+        jnp.maximum(wx, 1).astype(jnp.float32),
+        area.astype(jnp.float32),
+        jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0),
+    ]
+    if opacities is not None:
+        mean = jax.lax.stop_gradient(proj.mean2d)
+        conic = jax.lax.stop_gradient(proj.conic)
+        op = jax.lax.stop_gradient(opacities).astype(jnp.float32)
+        q_cut = jnp.log(jnp.maximum(op, 1e-12) / ALPHA_CUTOFF)
+        cols += [mean[:, 0], mean[:, 1], conic[:, 0], conic[:, 1],
+                 conic[:, 2], q_cut]
+    packed = jnp.stack(cols, axis=1)                    # (N, 5 or 11)
+
+    k_cap = max_tiles[0] * max_tiles[1]
+    sentinel = jnp.int32(grid_w * grid_h)
+    ts_f = jnp.float32(tile_size)
+    tile_parts, depth_parts, gauss_parts = [], [], []
+    k_lo = 0
+    for k_hi, tier_b in _CSORT_TIERS:
+        k_hi = min(k_hi, k_cap)
+        if k_hi <= k_lo:
+            continue
+        tier_b = _tier_b_eff(tier_b, n)
+        if tier_b is None:
+            rows, gidx = packed, jnp.arange(n, dtype=jnp.int32)
+        else:
+            gidx = area_order[:tier_b]
+            rows = packed[gidx]
+        k = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]    # (1, K)
+        w_i = rows[:, 2:3].astype(jnp.int32)                     # (B, 1)
+        tx = rows[:, 0:1].astype(jnp.int32) + k % w_i            # (B, K)
+        ty = rows[:, 1:2].astype(jnp.int32) + k // w_i
+        live = k < rows[:, 3:4].astype(jnp.int32)
+        if opacities is not None:
+            x0 = tx.astype(jnp.float32) * ts_f
+            y0 = ty.astype(jnp.float32) * ts_f
+            min_sig = _rect_min_sigma(
+                rows[:, 5:6], rows[:, 6:7], rows[:, 7:8], rows[:, 8:9],
+                rows[:, 9:10], x0, y0, x0 + ts_f, y0 + ts_f)
+            live = live & (min_sig <= rows[:, 10:11])
+        tile_parts.append(
+            jnp.where(live, ty * grid_w + tx, sentinel).reshape(-1))
+        depth_parts.append(jnp.broadcast_to(rows[:, 4:5], tx.shape)
+                           .reshape(-1))
+        gauss_parts.append(jnp.broadcast_to(gidx[:, None], tx.shape)
+                           .reshape(-1))
+        k_lo = k_hi
+    return (jnp.concatenate(tile_parts), jnp.concatenate(depth_parts),
+            jnp.concatenate(gauss_parts))
+
+
+def sorted_instances(proj: Projected, tile_size: int, grid_w: int,
+                     grid_h: int, max_tiles: tuple[int, int], s_max: int,
+                     opacities: jax.Array | None = None):
+    """(tile, depth)-sorted ``(sorted_tile, sorted_gauss)`` worklist arrays —
+    the single binning entry point both compositor backends consume.
+
+    ``PROMETHEUS_BIN_DECODE`` picks the expansion strategy (an on-chip perf
+    A/B, ``tools/raster_profile.py``): the slot-layout modes (``scanu``/
+    ``scan``/``addcumsum``/``bsearch``/``fscatter``) return length
+    ``s_max``; ``csort`` sorts the tiered candidates directly (no slots, no
+    budget cut) and returns the static candidate count. Downstream only
+    needs the arrays sorted with sentinels at the end — both lengths work.
+    """
+    n_tiles = grid_w * grid_h
+    if os.environ.get("PROMETHEUS_BIN_DECODE", "scanu") == "csort":
+        tile_id, depth_key, gauss_idx = _candidate_instances(
+            proj, tile_size, grid_w, grid_h, max_tiles, opacities=opacities)
+    else:
+        tile_id, depth_key, gauss_idx = _tile_instances(
+            proj, tile_size, grid_w, grid_h, max_tiles, s_max,
+            opacities=opacities)
+    return sort_tile_instances(tile_id, depth_key, gauss_idx, n_tiles)
+
+
 def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
                     max_tiles: tuple[int, int], s_max: int,
                     opacities: jax.Array | None = None):
@@ -129,6 +366,10 @@ def _tile_instances(proj: Projected, tile_size: int, grid_w: int, grid_h: int,
     Returns flat ``(tile_id, depth, gauss_idx)`` of length ``s_max``;
     unused slots get tile_id = grid_w * grid_h (sorted to the end).
     """
+    if os.environ.get("PROMETHEUS_BIN_DECODE", "scanu") == "fscatter":
+        return _tile_instances_fscatter(proj, tile_size, grid_w, grid_h,
+                                        max_tiles, s_max,
+                                        opacities=opacities)
     n = proj.mean2d.shape[0]
     # the packed decode rows below carry slot starts / gaussian indices in
     # f32, exact only below 2^24 — enforce it statically rather than corrupt
@@ -299,7 +540,22 @@ def tile_overflow_stats(proj: Projected, tile_size: int, grid_w: int,
     total = jnp.sum(cover.astype(jnp.float32))
     if s_max is None:
         s_max = default_instance_budget(int(proj.mean2d.shape[0]))
+
+    def tier_overflow(tiers):
+        # gaussians whose window outranks a tier's B selection lose their
+        # tiles in that tier's k range; zero = the tiered expansion is exact
+        v = jnp.int32(0)
+        k_lo = 0
+        for k_hi, tier_b in tiers:
+            if tier_b is not None:
+                over = jnp.sum((cover > k_lo).astype(jnp.int32)) - tier_b
+                v = v + jnp.maximum(over, 0)
+            k_lo = k_hi
+        return v
+
     return {
+        "csort_tier_overflow": tier_overflow(_CSORT_TIERS),
+        "fscatter_tier_overflow": tier_overflow(_FSCATTER_TIERS),
         "n_valid": jnp.sum(valid.astype(jnp.int32)),
         "n_window_clamped": jnp.sum(clamped.astype(jnp.int32)),
         "instances_needed": total,
@@ -362,14 +618,11 @@ def composite_tiled(
     if s_max is None:
         s_max = default_instance_budget(proj.mean2d.shape[0])
 
-    tile_id, depth_key, gauss_idx = _tile_instances(
-        proj, tile_size, grid_w, grid_h, (max_tiles_y, max_tiles_x),
-        s_max, opacities=opacities,
-    )
     # (tile, depth) order via one fused-key sort; invalid instances sink to
     # the end (sentinel tile id is the largest).
-    sorted_tile, sorted_gauss = sort_tile_instances(
-        tile_id, depth_key, gauss_idx, n_tiles)
+    sorted_tile, sorted_gauss = sorted_instances(
+        proj, tile_size, grid_w, grid_h, (max_tiles_y, max_tiles_x),
+        s_max, opacities=opacities)
 
     # Per-tile segment [start, end) in the sorted instance array.
     tile_range = jnp.arange(n_tiles + 1, dtype=jnp.int32)

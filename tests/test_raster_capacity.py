@@ -197,10 +197,76 @@ def test_bin_decode_variants_equivalent(monkeypatch):
         # exercise both the generous and the cut-mid-range budget regimes
         for s_max in (8 * n, n // 2):
             out = {}
-            for mode in ("scan", "scanu", "addcumsum", "bsearch"):
+            for mode in ("scan", "scanu", "addcumsum", "bsearch",
+                         "fscatter"):
                 monkeypatch.setenv("PROMETHEUS_BIN_DECODE", mode)
                 out[mode] = [np.asarray(a) for a in _tile_instances(
                     proj, ts, gw, gh, (8, 8), s_max, opacities=op)]
             for mode in ("scanu", "addcumsum", "bsearch"):
                 for a, b in zip(out["scan"], out[mode]):
                     assert (a == b).all(), mode
+            # fscatter: identical tile ids everywhere; depth/gauss are only
+            # defined at live slots (sentinel slots carry buffer init
+            # instead of the scan modes' decode junk — never read)
+            ref_tile, ref_depth, ref_gauss = out["scan"]
+            fs_tile, fs_depth, fs_gauss = out["fscatter"]
+            assert (fs_tile == ref_tile).all()
+            live = ref_tile != gw * gh
+            assert (fs_depth[live] == ref_depth[live]).all()
+            assert (fs_gauss[live] == ref_gauss[live]).all()
+
+
+def test_csort_matches_slot_modes(monkeypatch):
+    """``csort`` (direct candidate sort, no slot budget) must produce the
+    same LIVE (tile, gauss) instance set as the slot-layout decodes when the
+    budget is generous — the only regime where the slot modes are exact."""
+    import jax
+
+    from prometheus_tpu.ops.gaussian.projection import Projected
+    from prometheus_tpu.ops.gaussian.tiled import sorted_instances
+
+    ts, gw, gh, size = 16, 8, 8, 128
+    key = jax.random.PRNGKey(7)
+    for trial, n in enumerate([64, 257]):
+        ks = jax.random.split(jax.random.fold_in(key, trial), 5)
+        mean2d = jax.random.uniform(ks[0], (n, 2)) * (size + 40) - 20
+        radius = jax.random.uniform(ks[1], (n,)) * 24
+        proj = Projected(
+            mean2d=mean2d,
+            conic=jnp.tile(jnp.asarray([[0.05, 0.01, 0.08]]), (n, 1)),
+            depth=jax.random.uniform(ks[2], (n,)) * 5 + 0.1,
+            radius=radius,
+            valid=jax.random.uniform(ks[3], (n,)) > 0.2,
+        )
+        op = jax.random.uniform(ks[4], (n,)) * 0.99 + 0.005
+        pairs = {}
+        for mode in ("scanu", "csort"):
+            monkeypatch.setenv("PROMETHEUS_BIN_DECODE", mode)
+            st, sg = (np.asarray(a) for a in sorted_instances(
+                proj, ts, gw, gh, (8, 8), 8 * n, opacities=op))
+            live = st != gw * gh
+            p = np.stack([st[live], sg[live]], 1)
+            pairs[mode] = p[np.lexsort((p[:, 1], p[:, 0]))]
+        assert pairs["scanu"].shape == pairs["csort"].shape
+        assert (pairs["scanu"] == pairs["csort"]).all()
+
+
+def test_new_decodes_render_matches_naive(monkeypatch, key):
+    """End-to-end: composite_tiled under the fscatter and csort expansions
+    matches the scanu render exactly up to depth-tie reorder (random depths
+    -> measure-zero ties; tight allclose)."""
+    proj, colors, opac = make_projected(key, n=4000)
+    # PROMETHEUS_BIN_DECODE is read at TRACE time; composite_tiled is jitted,
+    # so each mode needs a fresh trace
+    composite_tiled.clear_cache()
+    monkeypatch.setenv("PROMETHEUS_BIN_DECODE", "scanu")
+    ref = [np.asarray(a) for a in composite_tiled(
+        proj, colors, opac, 128, 128, tile_capacity=256)]
+    for mode in ("fscatter", "csort"):
+        composite_tiled.clear_cache()
+        monkeypatch.setenv("PROMETHEUS_BIN_DECODE", mode)
+        out = composite_tiled(proj, colors, opac, 128, 128,
+                              tile_capacity=256)
+        for a, b in zip(ref, out):
+            assert np.allclose(a, np.asarray(b), atol=1e-5), mode
+    composite_tiled.clear_cache()

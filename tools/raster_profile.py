@@ -108,8 +108,8 @@ def main():
     # own traced program; jitting through a distinct wrapper per mode keeps
     # the cache entries separate.
     expand = {}
-    modes = ("scanu", "addcumsum", "scan") if args.fast \
-        else ("scanu", "addcumsum", "scan", "bsearch")
+    modes = ("scanu", "fscatter") if args.fast \
+        else ("scanu", "fscatter", "addcumsum", "scan", "bsearch")
     for mode in modes:
         os.environ["PROMETHEUS_BIN_DECODE"] = mode
 
@@ -209,6 +209,20 @@ def main():
     timings["sub_gather_cull_ms"] = time_stage(
         gc_fn, (proj, opac, starts, order, p_of_slot), args.reps) * 1e3
 
+    # --- stage: combined expand+sort per strategy (the csort mode has no
+    # separate expand: the sort IS the compaction) ---
+    for mode in ("scanu", "fscatter", "csort"):
+        os.environ["PROMETHEUS_BIN_DECODE"] = mode
+
+        def _binsort(p, o, _mode=mode):
+            return tiled.sorted_instances(p, ts, grid_w, grid_h, max_tiles,
+                                          s_max, opacities=o)
+
+        fn = jax.jit(_binsort)
+        timings[f"binsort_{mode}_ms"] = time_stage(
+            fn, (proj, opac), args.reps) * 1e3
+    os.environ.pop("PROMETHEUS_BIN_DECODE", None)
+
     # --- stage: fused-key sort ---
     sort_fn = jax.jit(
         lambda t, d, g: tiled.sort_tile_instances(t, d, g, n_tiles))
@@ -243,12 +257,20 @@ def main():
         interpret=interpret))
     timings["kernel_ms"] = time_stage(kern_fn, (data, counts), args.reps) * 1e3
 
-    # --- end-to-end, both backends ---
-    e2e_pallas = jax.jit(lambda p, o: composite_tiled_pallas(
-        p, colors, o, h, w, tile_size=ts, capacity=args.capacity,
-        max_tiles=max_tiles, s_max=s_max, interpret=interpret))
-    timings["e2e_pallas_ms"] = time_stage(
-        e2e_pallas, (proj, opac), args.reps) * 1e3
+    # --- end-to-end: pallas backend per binning strategy, XLA backend on
+    # the default ---
+    for mode in ("scanu", "fscatter", "csort"):
+        os.environ["PROMETHEUS_BIN_DECODE"] = mode
+
+        def _e2e(p, o, _mode=mode):
+            return composite_tiled_pallas(
+                p, colors, o, h, w, tile_size=ts, capacity=args.capacity,
+                max_tiles=max_tiles, s_max=s_max, interpret=interpret)
+
+        suffix = "" if mode == "scanu" else f"_{mode}"
+        timings[f"e2e_pallas{suffix}_ms"] = time_stage(
+            jax.jit(_e2e), (proj, opac), args.reps) * 1e3
+    os.environ.pop("PROMETHEUS_BIN_DECODE", None)
     e2e_xla = jax.jit(lambda p, o: tiled.composite_tiled(
         p, colors, o, h, w, tile_size=ts, tile_capacity=args.capacity,
         max_tiles_y=max_tiles[0], max_tiles_x=max_tiles[1], s_max=s_max))
@@ -261,9 +283,10 @@ def main():
         "timings_ms": {k: round(v, 3) for k, v in timings.items()},
         "fps_pallas": round(1e3 / timings["e2e_pallas_ms"], 1),
         "decode_winner": min(
-            (m for m in ("scanu", "addcumsum", "scan", "bsearch")
-             if f"expand_{m}_ms" in timings),
-            key=lambda m: timings[f"expand_{m}_ms"]),
+            ("scanu", "fscatter", "csort"),
+            key=lambda m: timings[f"binsort_{m}_ms"]),
+        "fps_best": round(1e3 / min(
+            timings[k] for k in timings if k.startswith("e2e_pallas")), 1),
     }
     with open(args.out, "w") as fp:
         json.dump(result, fp, indent=2)
