@@ -237,29 +237,93 @@ def brisque(img: np.ndarray, svr_params: str | None = None,
     return float(100.0 * d)
 
 
-def _patch_nss_features(m: np.ndarray) -> list[float]:
-    """18 NSS features of one MSCN patch (GGD 2 + 4 orientations x AGGD 4)."""
-    feats = []
-    alpha, sigma_sq = _ggd_params(m.ravel())
-    feats += [alpha, sigma_sq]
-    for (dy, dx) in [(0, 1), (1, 0), (1, 1), (1, -1)]:
+def _aggd_beta_params(x: np.ndarray):
+    """AGGD fit in the NIQE parameterization -> ``(alpha, N, bl, br)`` where
+    ``bl/br`` are the left/right SCALE (beta) parameters
+    ``sqrt(G(1/a)/G(3/a)) * side_rms`` and ``N`` is the mean parameter —
+    unlike the BRISQUE form (:func:`_aggd_params`), which carries side
+    VARIANCES. The official NIQE assets were fit in this parameterization."""
+    from math import gamma as G
+
+    gam = np.arange(0.2, 10, 0.001)   # the official release's exact grid
+    r_gam = np.asarray([(G(2 / g) ** 2) / (G(1 / g) * G(3 / g)) for g in gam])
+    left = x[x < 0]
+    right = x[x >= 0]
+    sl = np.sqrt(np.mean(left**2)) if left.size else 0.0
+    sr = np.sqrt(np.mean(right**2)) if right.size else 0.0
+    gamma_hat = sl / sr if sr != 0 else np.inf
+    rhat = np.mean(np.abs(x)) ** 2 / max(np.mean(x**2), 1e-12)
+    rhat_norm = rhat * (gamma_hat**3 + 1) * (gamma_hat + 1) / \
+        (gamma_hat**2 + 1) ** 2 if np.isfinite(gamma_hat) else np.inf
+    alpha = gam[np.argmin((r_gam - rhat_norm) ** 2)]
+    const = np.sqrt(G(1 / alpha) / G(3 / alpha))
+    bl, br = const * sl, const * sr
+    n_mean = (br - bl) * (G(2 / alpha) / G(1 / alpha))
+    return alpha, n_mean, bl, br
+
+
+def _mscn_constant(img: np.ndarray, sigma: float = 7.0 / 6.0) -> np.ndarray:
+    """MSCN with the official NIQE release's exact border handling: 7-tap
+    separable gaussian via ``correlate1d(mode='constant')`` (zero padding)
+    and ``sqrt(abs(var))`` — the reference metric script inherits these
+    (``/root/reference/paper/metric_scripts/compute_niqe.py:94-123``), and
+    they differ measurably from reflect padding at patch borders."""
+    from scipy.ndimage import correlate1d
+
+    img = np.asarray(img, np.float32)
+    x = np.arange(-3, 4, dtype=np.float32)
+    k = np.exp(-0.5 * x**2 / sigma**2)
+    k /= k.sum()
+    mu = correlate1d(correlate1d(img, k, 0, mode="constant"), k, 1,
+                     mode="constant")
+    var = correlate1d(correlate1d(img * img, k, 0, mode="constant"), k, 1,
+                      mode="constant")
+    sd = np.sqrt(np.abs(var - mu * mu))
+    return (img - mu) / (sd + 1.0)
+
+
+def _niqe_patch_feats(m: np.ndarray) -> list[float]:
+    """18 NIQE features of one MSCN patch, reference-script-exact
+    (``compute_niqe.py:126-139``): AGGD-beta on the coefficients ->
+    ``[alpha, (bl+br)/2]``, then per paired product (H, V, D1, D2)
+    ``[alpha, N, bl, br]`` — EXCEPT the D1/D2 rows, which the vendored
+    implementation emits as ``[alpha, N, bl, bl]`` (its lines 137-138; a
+    long-standing quirk of the public python port). Replicated knowingly:
+    the reference's published numbers were produced with it, so numeric
+    parity requires it."""
+    alpha_m, _, bl, br = _aggd_beta_params(m.ravel())
+    feats = [alpha_m, (bl + br) / 2.0]
+    for i, (dy, dx) in enumerate([(0, 1), (1, 0), (1, 1), (1, -1)]):
         shifted = np.roll(np.roll(m, dy, axis=0), dx, axis=1)
-        feats += list(_aggd_params((m * shifted).ravel()))
+        a, n_m, l, r = _aggd_beta_params((m * shifted).ravel())
+        feats += [a, n_m, l, l if i >= 2 else r]
     return feats
 
 
 def niqe_features_patches(gray: np.ndarray, patch: int = 96) -> np.ndarray:
-    """Official NIQE per-patch features: 18 at full scale + 18 at half scale
-    over aligned ``patch``-sized blocks -> (n_patches, 36)."""
-    m1 = mscn(gray)
-    m2 = mscn(gray[::2, ::2])
+    """Official NIQE per-patch features, procedure-identical to the
+    reference script (``compute_niqe.py:165-196``): crop to a multiple of
+    ``patch``, bicubic half-scale (cv2 ``INTER_CUBIC``), constant-border
+    MSCN at both scales, 18 features per non-overlapping ``patch`` block at
+    full scale + 18 per aligned ``patch/2`` block at half scale
+    -> ``(n_patches, 36)``."""
+    import cv2
+
     h, w = gray.shape
+    gray = np.asarray(gray[:h - h % patch or None,
+                           :w - w % patch or None], np.float32)
+    half = cv2.resize(gray, None, fx=0.5, fy=0.5,
+                      interpolation=cv2.INTER_CUBIC)
+    m1 = _mscn_constant(gray).astype(np.float32)
+    m2 = _mscn_constant(half).astype(np.float32)
+    h, w = gray.shape
+    p2 = patch // 2
     feats = []
     for y in range(0, h - patch + 1, patch):
         for x in range(0, w - patch + 1, patch):
-            f = _patch_nss_features(m1[y:y + patch, x:x + patch])
-            f += _patch_nss_features(
-                m2[y // 2:(y + patch) // 2, x // 2:(x + patch) // 2])
+            f = _niqe_patch_feats(m1[y:y + patch, x:x + patch])
+            f += _niqe_patch_feats(m2[y // 2:y // 2 + p2,
+                                      x // 2:x // 2 + p2])
             feats.append(f)
     return np.asarray(feats) if feats else np.zeros((0, 36))
 
