@@ -436,6 +436,15 @@ def main():
             """images/cameras/text -> the loss's batch dict (pseudo-depth
             teacher + CLIP text embeddings computed on device)."""
             images = jnp.asarray(raw["images_mv"])
+            # a dataset/model size mismatch silently quadruples attention
+            # sequence lengths per octave (a 256^2 batch into a 32^2-model
+            # trace tried a 1 TB attention buffer); fail with the fix instead
+            if images.shape[-1] != img:
+                raise SystemExit(
+                    f"dataset serves {images.shape[-2]}x{images.shape[-1]} "
+                    f"images but the model expects {img}x{img} — set the "
+                    "config's image_size (or --override image_size=...) to "
+                    "match")
             ids = jnp.asarray(tokenizer(raw["text_mv"]))
             if args.stage == "mvldm":
                 text_emb = encode_text_frozen(ids)
