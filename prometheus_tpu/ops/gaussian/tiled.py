@@ -223,12 +223,15 @@ def _tile_instances_fscatter(proj: Projected, tile_size: int, grid_w: int,
 
 
 # Candidate-sort tier plan (``csort`` decode): tighter than the fscatter
-# plan because no slot layout exists — candidate count IS the sort length.
-# Sized from the same trained-stats distribution (area>4: 42k, >16: 9.8k,
-# >64: 7.3k, >256: 1.8k) with ~1.5x headroom: ~6.1M candidates at 524k
-# gaussians vs the 3.1M-slot budget the scan decodes sweep.
+# plan because no slot layout exists — candidate count IS the sort length,
+# and the on-chip A/B measured the sort+build cost roughly linear in it
+# (binsort 43 ms at the first 8.4M-candidate plan vs scanu's 73 ms).
+# Sized from the trained-stats area distribution (area>4: 42.3k, >16: 9.8k,
+# >64: 7.3k, >128: 4.7k, >256: 1.8k, >512: 360) with >=1.26x headroom per
+# tier: ~6.1M candidates at 524k gaussians.
 _CSORT_TIERS: tuple[tuple[int, int | None], ...] = (
-    (4, None), (16, 65536), (64, 16384), (256, 12288), (1024, 3072))
+    (4, None), (16, 65536), (64, 14336), (128, 9216), (256, 6144),
+    (512, 2560), (1024, 1024))
 
 
 def _tier_b_eff(tier_b: int | None, n: int) -> int | None:
@@ -241,19 +244,27 @@ def _tier_b_eff(tier_b: int | None, n: int) -> int | None:
     return min(n, max(256, tier_b * n // 524288))
 
 
-def _candidate_instances(proj: Projected, tile_size: int, grid_w: int,
+def _candidate_sorted_instances(proj: Projected, tile_size: int, grid_w: int,
                          grid_h: int, max_tiles: tuple[int, int],
                          opacities: jax.Array | None = None):
     """Tiered (gaussian, window-tile) candidate expansion WITHOUT slots:
-    returns flat ``(tile_id, depth, gauss_idx)`` of static length
-    sum(B_t * K_t) — dead candidates carry the sentinel tile id and sink in
-    the sort. No instance budget exists (every covered tile of every
-    selected gaussian is emitted), so unlike the slot-layout modes there is
-    NO s_max cut: the only drop is a splat ranked below a tier's ``B`` by
-    window area losing its tiles beyond that tier's ``k`` range
-    (``tile_overflow_stats`` reports it; zero on the trained-stats scene).
+    returns ``(sorted_tile, sorted_gauss)`` of static length sum(B_t * K_t)
+    by building the fused ``(tile, quantized depth)`` u32 sort key DIRECTLY
+    per candidate (the key bitcast rides the per-gaussian pack as an
+    f32-exact integer column — no intermediate tile/depth arrays, no second
+    key-packing pass) and running one single-key sort; dead candidates get
+    the all-ones key and sink past every real tile. No instance budget
+    exists (every covered tile of every selected gaussian is emitted), so
+    unlike the slot-layout modes there is NO s_max cut: the only drop is a
+    splat ranked below a tier's ``B`` by window area losing its tiles
+    beyond that tier's ``k`` range (``tile_overflow_stats`` reports it;
+    zero on the trained-stats scene).
     """
     n = proj.mean2d.shape[0]
+    n_tiles = grid_w * grid_h
+    tile_bits = max(int(np.ceil(np.log2(n_tiles + 1))), 1)
+    depth_bits = 32 - tile_bits
+    assert (n_tiles << depth_bits) < (1 << 32)
     ex0, ey0, wx, wy = _clamped_windows(proj, tile_size, grid_w, grid_h,
                                         max_tiles)
     area = jnp.where(proj.valid, wx * wy, 0).astype(jnp.int32)
@@ -261,12 +272,21 @@ def _candidate_instances(proj: Projected, tile_size: int, grid_w: int,
         (-area.astype(jnp.float32), jnp.arange(n, dtype=jnp.int32)),
         num_keys=1)
 
+    # depth quantization for the fused key, computed once per GAUSSIAN:
+    # top (32 - tile_bits) bits of the positive-f32 bit pattern (order-
+    # isomorphic; see sort_tile_instances) — an integer < 2^21 at a 32x32
+    # grid, so it rides the f32 pack exactly
+    db = jax.lax.bitcast_convert_type(
+        jnp.maximum(jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0),
+                    0.0).astype(jnp.float32), jnp.uint32)
+    depth_q = (db >> jnp.uint32(tile_bits)).astype(jnp.float32)
+
     cols = [
         ex0.astype(jnp.float32),
         ey0.astype(jnp.float32),
         jnp.maximum(wx, 1).astype(jnp.float32),
         area.astype(jnp.float32),
-        jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0),
+        depth_q,
     ]
     if opacities is not None:
         mean = jax.lax.stop_gradient(proj.mean2d)
@@ -278,9 +298,8 @@ def _candidate_instances(proj: Projected, tile_size: int, grid_w: int,
     packed = jnp.stack(cols, axis=1)                    # (N, 5 or 11)
 
     k_cap = max_tiles[0] * max_tiles[1]
-    sentinel = jnp.int32(grid_w * grid_h)
     ts_f = jnp.float32(tile_size)
-    tile_parts, depth_parts, gauss_parts = [], [], []
+    key_parts, gauss_parts = [], []
     k_lo = 0
     for k_hi, tier_b in _CSORT_TIERS:
         k_hi = min(k_hi, k_cap)
@@ -304,15 +323,21 @@ def _candidate_instances(proj: Projected, tile_size: int, grid_w: int,
                 rows[:, 5:6], rows[:, 6:7], rows[:, 7:8], rows[:, 8:9],
                 rows[:, 9:10], x0, y0, x0 + ts_f, y0 + ts_f)
             live = live & (min_sig <= rows[:, 10:11])
-        tile_parts.append(
-            jnp.where(live, ty * grid_w + tx, sentinel).reshape(-1))
-        depth_parts.append(jnp.broadcast_to(rows[:, 4:5], tx.shape)
-                           .reshape(-1))
+        key = ((ty * grid_w + tx).astype(jnp.uint32)
+               << jnp.uint32(depth_bits)) \
+            | jnp.broadcast_to(rows[:, 4:5], tx.shape).astype(jnp.uint32)
+        key_parts.append(
+            jnp.where(live, key, jnp.uint32(0xFFFFFFFF)).reshape(-1))
         gauss_parts.append(jnp.broadcast_to(gidx[:, None], tx.shape)
                            .reshape(-1))
         k_lo = k_hi
-    return (jnp.concatenate(tile_parts), jnp.concatenate(depth_parts),
-            jnp.concatenate(gauss_parts))
+    skey, sorted_gauss = jax.lax.sort(
+        (jnp.concatenate(key_parts), jnp.concatenate(gauss_parts)),
+        num_keys=1)
+    # dead keys decode to tile 2^tile_bits - 1 >= n_tiles: past every real
+    # tile, exactly like the slot modes' n_tiles sentinel
+    sorted_tile = (skey >> jnp.uint32(depth_bits)).astype(jnp.int32)
+    return sorted_tile, sorted_gauss
 
 
 def sorted_instances(proj: Projected, tile_size: int, grid_w: int,
@@ -329,13 +354,12 @@ def sorted_instances(proj: Projected, tile_size: int, grid_w: int,
     needs the arrays sorted with sentinels at the end — both lengths work.
     """
     n_tiles = grid_w * grid_h
-    if os.environ.get("PROMETHEUS_BIN_DECODE", "scanu") == "csort":
-        tile_id, depth_key, gauss_idx = _candidate_instances(
+    if os.environ.get("PROMETHEUS_BIN_DECODE", "csort") == "csort":
+        return _candidate_sorted_instances(
             proj, tile_size, grid_w, grid_h, max_tiles, opacities=opacities)
-    else:
-        tile_id, depth_key, gauss_idx = _tile_instances(
-            proj, tile_size, grid_w, grid_h, max_tiles, s_max,
-            opacities=opacities)
+    tile_id, depth_key, gauss_idx = _tile_instances(
+        proj, tile_size, grid_w, grid_h, max_tiles, s_max,
+        opacities=opacities)
     return sort_tile_instances(tile_id, depth_key, gauss_idx, n_tiles)
 
 

@@ -244,7 +244,9 @@ def test_csort_matches_slot_modes(monkeypatch):
             monkeypatch.setenv("PROMETHEUS_BIN_DECODE", mode)
             st, sg = (np.asarray(a) for a in sorted_instances(
                 proj, ts, gw, gh, (8, 8), 8 * n, opacities=op))
-            live = st != gw * gh
+            # dead entries: n_tiles sentinel (slot modes) or the all-ones
+            # key's 2^tile_bits - 1 (csort) — both >= n_tiles
+            live = st < gw * gh
             p = np.stack([st[live], sg[live]], 1)
             pairs[mode] = p[np.lexsort((p[:, 1], p[:, 0]))]
         assert pairs["scanu"].shape == pairs["csort"].shape

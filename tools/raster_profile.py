@@ -35,7 +35,15 @@ def _sync(out):
     jax.device_get(leaf.ravel()[0:1])
 
 
-def time_stage(fn, args, reps, warmup=2):
+_T0 = time.time()
+
+
+def _progress(msg: str):
+    print(f"[profile +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def time_stage(fn, args, reps, warmup=2, label=""):
     """Median-of-3 of (reps pipelined dispatches + one sync) / reps."""
     vals = []
     for _ in range(warmup):
@@ -48,6 +56,8 @@ def time_stage(fn, args, reps, warmup=2):
         _sync(out)
         vals.append((time.time() - t0) / reps)
     vals.sort()
+    if label:
+        _progress(f"{label}: {vals[1] * 1e3:.2f} ms")
     return vals[1]
 
 
@@ -100,7 +110,8 @@ def main():
     # --- stage: projection ---
     proj_fn = jax.jit(lambda: project_gaussians(
         xyz, scales, rotations, w2c, fx, fy, cx, cy, h, w, opacities=opac))
-    timings["project_ms"] = time_stage(proj_fn, (), args.reps) * 1e3
+    timings["project_ms"] = time_stage(
+        proj_fn, (), args.reps, label="project_ms") * 1e3
     proj = jax.block_until_ready(proj_fn())
 
     # --- stage: binning expansion, all slot decodes ---
@@ -108,7 +119,9 @@ def main():
     # own traced program; jitting through a distinct wrapper per mode keeps
     # the cache entries separate.
     expand = {}
-    modes = ("scanu", "fscatter") if args.fast \
+    # fscatter lost the r5 A/B by >10x (a 14M-row scatter runs ~65 ns/row
+    # on this chip) — kept only in the slow sweep for the record
+    modes = ("scanu",) if args.fast \
         else ("scanu", "fscatter", "addcumsum", "scan", "bsearch")
     for mode in modes:
         os.environ["PROMETHEUS_BIN_DECODE"] = mode
@@ -119,7 +132,7 @@ def main():
 
         fn = jax.jit(_expand)
         timings[f"expand_{mode}_ms"] = time_stage(
-            fn, (proj, opac), args.reps) * 1e3
+        fn, (proj, opac), args.reps, label=f"expand_{mode}_ms") * 1e3
         expand[mode] = jax.block_until_ready(fn(proj, opac))
     os.environ.pop("PROMETHEUS_BIN_DECODE", None)
     tile_id, depth_key, gauss_idx = expand[modes[0]]
@@ -167,11 +180,11 @@ def main():
 
     dec_u = jax.jit(_decode_scanu)
     timings["sub_decode_scanu_ms"] = time_stage(
-        dec_u, (starts, cover_o), args.reps) * 1e3
+        dec_u, (starts, cover_o), args.reps, label="sub_decode_scanu_ms") * 1e3
     if not args.fast:
         dec_c = jax.jit(_decode_scan)
         timings["sub_decode_scan_ms"] = time_stage(
-            dec_c, (starts, cover_o), args.reps) * 1e3
+        dec_c, (starts, cover_o), args.reps, label="sub_decode_scan_ms") * 1e3
     p_of_slot = jax.block_until_ready(dec_u(starts, cover_o))
 
     def _gather_cull(p, o, st, ordr, pslot):
@@ -207,11 +220,13 @@ def main():
 
     gc_fn = jax.jit(_gather_cull)
     timings["sub_gather_cull_ms"] = time_stage(
-        gc_fn, (proj, opac, starts, order, p_of_slot), args.reps) * 1e3
+        gc_fn, (proj, opac, starts, order, p_of_slot), args.reps, label="sub_gather_cull_ms") * 1e3
 
     # --- stage: combined expand+sort per strategy (the csort mode has no
     # separate expand: the sort IS the compaction) ---
-    for mode in ("scanu", "fscatter", "csort"):
+    binsort_modes = ("scanu", "csort") if args.fast \
+        else ("scanu", "fscatter", "csort")
+    for mode in binsort_modes:
         os.environ["PROMETHEUS_BIN_DECODE"] = mode
 
         def _binsort(p, o, _mode=mode):
@@ -220,14 +235,14 @@ def main():
 
         fn = jax.jit(_binsort)
         timings[f"binsort_{mode}_ms"] = time_stage(
-            fn, (proj, opac), args.reps) * 1e3
+        fn, (proj, opac), args.reps, label=f"binsort_{mode}_ms") * 1e3
     os.environ.pop("PROMETHEUS_BIN_DECODE", None)
 
     # --- stage: fused-key sort ---
     sort_fn = jax.jit(
         lambda t, d, g: tiled.sort_tile_instances(t, d, g, n_tiles))
     timings["sort_ms"] = time_stage(
-        sort_fn, (tile_id, depth_key, gauss_idx), args.reps) * 1e3
+        sort_fn, (tile_id, depth_key, gauss_idx), args.reps, label="sort_ms") * 1e3
     sorted_tile, sorted_gauss = jax.block_until_ready(
         sort_fn(tile_id, depth_key, gauss_idx))
 
@@ -247,7 +262,7 @@ def main():
 
     seg_fn = jax.jit(_seg_gather)
     timings["segments_gather_ms"] = time_stage(
-        seg_fn, (sorted_tile, sorted_gauss, proj), args.reps) * 1e3
+        seg_fn, (sorted_tile, sorted_gauss, proj), args.reps, label="segments_gather_ms") * 1e3
     data, counts = jax.block_until_ready(
         seg_fn(sorted_tile, sorted_gauss, proj))
 
@@ -255,12 +270,18 @@ def main():
     kern_fn = jax.jit(lambda d, c: run_compositor_kernel(
         d, c, h, w, tile_size=ts, capacity=args.capacity,
         interpret=interpret))
-    timings["kernel_ms"] = time_stage(kern_fn, (data, counts), args.reps) * 1e3
+    timings["kernel_ms"] = time_stage(
+        kern_fn, (data, counts), args.reps, label="kernel_ms") * 1e3
 
     # --- end-to-end: pallas backend per binning strategy, XLA backend on
     # the default ---
-    for mode in ("scanu", "fscatter", "csort"):
+    for mode in binsort_modes:
         os.environ["PROMETHEUS_BIN_DECODE"] = mode
+        # composite_tiled_pallas is itself jitted and reads the env at ITS
+        # trace — that inner-jit cache is shared across our outer wrappers,
+        # so clear it per mode (the first r5 profile silently measured
+        # scanu three times without this)
+        composite_tiled_pallas.clear_cache()
 
         def _e2e(p, o, _mode=mode):
             return composite_tiled_pallas(
@@ -269,12 +290,13 @@ def main():
 
         suffix = "" if mode == "scanu" else f"_{mode}"
         timings[f"e2e_pallas{suffix}_ms"] = time_stage(
-            jax.jit(_e2e), (proj, opac), args.reps) * 1e3
+        jax.jit(_e2e), (proj, opac), args.reps, label=f"e2e_pallas{suffix}_ms") * 1e3
     os.environ.pop("PROMETHEUS_BIN_DECODE", None)
     e2e_xla = jax.jit(lambda p, o: tiled.composite_tiled(
         p, colors, o, h, w, tile_size=ts, tile_capacity=args.capacity,
         max_tiles_y=max_tiles[0], max_tiles_x=max_tiles[1], s_max=s_max))
-    timings["e2e_xla_ms"] = time_stage(e2e_xla, (proj, opac), args.reps) * 1e3
+    timings["e2e_xla_ms"] = time_stage(
+        e2e_xla, (proj, opac), args.reps, label="e2e_xla_ms") * 1e3
 
     dev = jax.devices()[0].platform
     result = {
@@ -283,8 +305,7 @@ def main():
         "timings_ms": {k: round(v, 3) for k, v in timings.items()},
         "fps_pallas": round(1e3 / timings["e2e_pallas_ms"], 1),
         "decode_winner": min(
-            ("scanu", "fscatter", "csort"),
-            key=lambda m: timings[f"binsort_{m}_ms"]),
+            binsort_modes, key=lambda m: timings[f"binsort_{m}_ms"]),
         "fps_best": round(1e3 / min(
             timings[k] for k in timings if k.startswith("e2e_pallas")), 1),
     }
