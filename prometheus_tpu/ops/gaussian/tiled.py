@@ -226,12 +226,15 @@ def _tile_instances_fscatter(proj: Projected, tile_size: int, grid_w: int,
 # plan because no slot layout exists — candidate count IS the sort length,
 # and the on-chip A/B measured the sort+build cost roughly linear in it
 # (binsort 43 ms at the first 8.4M-candidate plan vs scanu's 73 ms).
-# Sized from the trained-stats area distribution (area>4: 42.3k, >16: 9.8k,
-# >64: 7.3k, >128: 4.7k, >256: 1.8k, >512: 360) with >=1.26x headroom per
-# tier: ~6.1M candidates at 524k gaussians.
+# Sized from the trained-stats area distribution (area>4: 42.5k, >8: 16.1k,
+# >16: 9.8k, >64: 7.3k, >128: 4.7k, >256: 1.8k, >512: 343) with >=1.26x
+# headroom per tier boundary: ~5.35M candidates at 524k gaussians (true
+# bbox cover is 2.67M — the remaining overhead is the price of static
+# shapes; each extra tier costs one B-row gather, so tiers stop where the
+# gather (~15 ns/row on-chip) outweighs the sort savings (~5 ns/slot)).
 _CSORT_TIERS: tuple[tuple[int, int | None], ...] = (
-    (4, None), (16, 65536), (64, 14336), (128, 9216), (256, 6144),
-    (512, 2560), (1024, 1024))
+    (4, None), (8, 57344), (16, 24576), (64, 12544), (128, 9216),
+    (256, 6144), (512, 2304), (1024, 512))
 
 
 def _tier_b_eff(tier_b: int | None, n: int) -> int | None:
