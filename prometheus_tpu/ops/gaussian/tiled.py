@@ -302,6 +302,14 @@ def _candidate_sorted_instances(proj: Projected, tile_size: int, grid_w: int,
 
     k_cap = max_tiles[0] * max_tiles[1]
     ts_f = jnp.float32(tile_size)
+    # every selected tier is a PREFIX of area_order, so one gather of the
+    # largest prefix serves them all as free slices (random-access gathers
+    # run 10-65 ns/row on this chip — halving gather rows is real ms)
+    b_all = [_tier_b_eff(b, n) for _, b in _CSORT_TIERS if b is not None]
+    b_max = max(b_all) if b_all else 0
+    if b_max:
+        sel = area_order[:b_max]
+        packed_sel = packed[sel]
     key_parts, gauss_parts = [], []
     k_lo = 0
     for k_hi, tier_b in _CSORT_TIERS:
@@ -312,8 +320,8 @@ def _candidate_sorted_instances(proj: Projected, tile_size: int, grid_w: int,
         if tier_b is None:
             rows, gidx = packed, jnp.arange(n, dtype=jnp.int32)
         else:
-            gidx = area_order[:tier_b]
-            rows = packed[gidx]
+            gidx = sel[:tier_b]
+            rows = packed_sel[:tier_b]
         k = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]    # (1, K)
         w_i = rows[:, 2:3].astype(jnp.int32)                     # (B, 1)
         tx = rows[:, 0:1].astype(jnp.int32) + k % w_i            # (B, K)
